@@ -1,0 +1,50 @@
+import pytest
+
+from efg_tpu.utils.events import EventStorage, JSONWriter, get_event_storage
+from efg_tpu.utils.history_buffer import HistoryBuffer
+from efg_tpu.utils.registry import Registry
+
+
+def test_registry_roundtrip():
+    R = Registry("things")
+
+    @R.register()
+    class Foo:
+        pass
+
+    R.register(name="bar")(Foo)
+    assert R.get("Foo") is Foo
+    assert R["bar"] is Foo
+    assert "Foo" in R
+    with pytest.raises(KeyError):
+        R.register(Foo)  # duplicate
+    with pytest.raises(KeyError):
+        R.get("missing")
+
+
+def test_history_buffer_stats():
+    h = HistoryBuffer()
+    for v in [1.0, 2.0, 3.0, 4.0]:
+        h.update(v)
+    assert h.latest() == 4.0
+    assert h.avg(2) == 3.5
+    assert h.median(3) == 3.0
+    assert h.global_avg() == 2.5
+
+
+def test_event_storage_and_json_writer(tmp_path):
+    with EventStorage(start_iter=0) as storage:
+        assert get_event_storage() is storage
+        storage.put_scalar("loss", 1.0)
+        storage.step()
+        storage.put_scalar("loss", 3.0)
+        storage.put_scalar("lr", 0.1, smoothing_hint=False)
+        w = JSONWriter(str(tmp_path / "metrics.json"), window_size=2)
+        w.write()
+        w.close()
+    import json
+
+    rec = json.loads((tmp_path / "metrics.json").read_text().strip())
+    assert rec["iteration"] == 1
+    assert rec["loss"] == 3.0  # median of [1, 3] -> index 1
+    assert rec["lr"] == 0.1
