@@ -1,0 +1,169 @@
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from efg_tpu.ops import sparse as S
+
+SHAPE = (6, 10, 12)  # (D, H, W)
+
+
+def _make_sparse(seed=0, n=40, bsz=2, cap=64, c=4, shape=SHAPE):
+    rs = np.random.RandomState(seed)
+    d, h, w = shape
+    feats = np.zeros((bsz, cap, c), np.float32)
+    coords = np.zeros((bsz, cap, 3), np.int32)
+    valid = np.zeros((bsz, cap), bool)
+    dense = np.zeros((bsz, d, h, w, c), np.float32)
+    for b in range(bsz):
+        # unique random sites, sorted by linear key as the voxelizer emits
+        lin = rs.choice(d * h * w, size=n, replace=False)
+        lin.sort()
+        z, y, x = lin // (h * w), (lin // w) % h, lin % w
+        f = rs.randn(n, c).astype(np.float32)
+        feats[b, :n] = f
+        coords[b, :n] = np.stack([z, y, x], -1)
+        valid[b, :n] = True
+        dense[b, z, y, x] = f
+    st = S.from_batched_voxels(jnp.asarray(feats), jnp.asarray(coords), jnp.asarray(valid), shape)
+    return st, dense
+
+
+def _dense_conv(dense, w_kernel, stride=(1, 1, 1), padding=(1, 1, 1)):
+    """Naive dense 3D conv oracle. dense [B,D,H,W,C], w [kd,kh,kw,Cin,Cout]."""
+    bsz, d, h, w, cin = dense.shape
+    kd, kh, kw, _, cout = w_kernel.shape
+    od = (d + 2 * padding[0] - kd) // stride[0] + 1
+    oh = (h + 2 * padding[1] - kh) // stride[1] + 1
+    ow = (w + 2 * padding[2] - kw) // stride[2] + 1
+    out = np.zeros((bsz, od, oh, ow, cout), np.float32)
+    pad = np.pad(dense, [(0, 0)] + [(padding[i], padding[i] + max(kd, kh, kw)) for i in range(3)] + [(0, 0)])
+    for oz in range(od):
+        for oy in range(oh):
+            for ox in range(ow):
+                patch = pad[:, oz * stride[0]:oz * stride[0] + kd,
+                            oy * stride[1]:oy * stride[1] + kh,
+                            ox * stride[2]:ox * stride[2] + kw]
+                out[:, oz, oy, ox] = np.einsum("bdhwc,dhwco->bo", patch, w_kernel)
+    return out
+
+
+def test_subm_conv_matches_dense_oracle():
+    st, dense = _make_sparse()
+    cin, cout = 4, 6
+    rs = np.random.RandomState(1)
+    wk = rs.randn(3, 3, 3, cin, cout).astype(np.float32) * 0.1
+    w_flat = jnp.asarray(wk.reshape(27, cin, cout))
+
+    out_st = S.subm_conv(st, w_flat)
+    dense_out = _dense_conv(dense, wk)
+
+    got = np.asarray(out_st.features)
+    coords = np.asarray(out_st.coords)
+    valid = np.asarray(out_st.valid)
+    # submanifold: compare at input sites only
+    for i in np.flatnonzero(valid):
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+    assert np.abs(got[~valid]).max() == 0
+
+
+def test_subm_rulebook_reuse_and_center_only():
+    st, _ = _make_sparse(seed=3)
+    rb = S.build_subm_rulebook(st, 3)
+    assert rb.shape == (27, st.capacity)
+    # center offset (13) maps every valid row to itself
+    center = np.asarray(rb[13])
+    valid = np.asarray(st.valid)
+    np.testing.assert_array_equal(center[valid], np.flatnonzero(valid))
+    # 1x1x1 kernel == per-site linear layer
+    w = jnp.asarray(np.random.RandomState(2).randn(1, 4, 4).astype(np.float32))
+    out = S.subm_conv(st, w)
+    exp = np.asarray(st.features) @ np.asarray(w[0])
+    np.testing.assert_allclose(np.asarray(out.features)[valid], exp[valid], rtol=1e-4, atol=1e-5)
+
+
+def test_batch_isolation():
+    # identical coords in both samples; different features — no cross-talk
+    st, dense = _make_sparse(seed=5, bsz=2)
+    wk = np.zeros((3, 3, 3, 4, 4), np.float32)
+    wk[1, 1, 1] = np.eye(4)  # identity at center
+    out = S.subm_conv(st, jnp.asarray(wk.reshape(27, 4, 4)))
+    np.testing.assert_allclose(np.asarray(out.features), np.asarray(st.features), atol=1e-6)
+
+
+def test_spconv_downsample_matches_dense_oracle():
+    st, dense = _make_sparse(seed=7, n=50)
+    cin, cout = 4, 5
+    rs = np.random.RandomState(4)
+    wk = rs.randn(3, 3, 3, cin, cout).astype(np.float32) * 0.1
+    out_st = S.spconv_downsample(
+        st, jnp.asarray(wk.reshape(27, cin, cout)),
+        kernel_size=3, stride=2, padding=1, max_out=256,
+    )
+    assert out_st.spatial_shape == (3, 5, 6)
+    dense_out = _dense_conv(dense, wk, stride=(2, 2, 2), padding=(1, 1, 1))
+
+    got = np.asarray(out_st.features)
+    coords = np.asarray(out_st.coords)
+    valid = np.asarray(out_st.valid)
+    for i in np.flatnonzero(valid):
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+
+    # every generated site has at least one touching input; sites NOT generated
+    # have an all-zero dense conv contribution from occupied voxels only when
+    # no input voxel is in their window — check count matches oracle occupancy
+    occ = np.zeros(dense.shape[:4], bool)
+    occ[dense.any(-1)] = True
+    exp_sites = set()
+    d, h, w = SHAPE
+    for b, z, y, x in np.argwhere(occ):
+        # o = (i + p - κ)/s for κ ∈ [0, k): o ∈ [ceil((i-1)/2), floor((i+1)/2)]
+        for oz in range(-(-(z - 1) // 2), (z + 1) // 2 + 1):
+            for oy in range(-(-(y - 1) // 2), (y + 1) // 2 + 1):
+                for ox in range(-(-(x - 1) // 2), (x + 1) // 2 + 1):
+                    if 0 <= oz < 3 and 0 <= oy < 5 and 0 <= ox < 6:
+                        exp_sites.add((int(b), int(oz), int(oy), int(ox)))
+    got_sites = {tuple(c) for c in coords[valid]}
+    assert got_sites == exp_sites
+
+
+def test_asymmetric_kernel_stride():
+    # the SpMiddleResNetFHD extra_conv: kernel (3,1,1), stride (2,1,1), pad 0
+    st, dense = _make_sparse(seed=9, n=30)
+    wk = np.random.RandomState(5).randn(3, 1, 1, 4, 4).astype(np.float32) * 0.2
+    out_st = S.spconv_downsample(
+        st, jnp.asarray(wk.reshape(3, 4, 4)),
+        kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=(0, 0, 0), max_out=256,
+    )
+    assert out_st.spatial_shape == (2, 10, 12)
+    dense_out = _dense_conv(dense, wk, stride=(2, 1, 1), padding=(0, 0, 0))
+    coords = np.asarray(out_st.coords)
+    valid = np.asarray(out_st.valid)
+    got = np.asarray(out_st.features)
+    for i in np.flatnonzero(valid):
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+
+
+def test_to_dense_and_bev():
+    st, dense = _make_sparse(seed=11)
+    out = np.asarray(S.to_dense(st))  # [B, C, D, H, W]
+    np.testing.assert_allclose(out, dense.transpose(0, 4, 1, 2, 3), atol=1e-6)
+    bev = np.asarray(S.bev_dense(st))
+    assert bev.shape == (2, 4 * SHAPE[0], SHAPE[1], SHAPE[2])
+
+
+def test_gradients_flow():
+    st, _ = _make_sparse(seed=13)
+    w = jnp.asarray(np.random.RandomState(6).randn(27, 4, 4).astype(np.float32) * 0.1)
+
+    def loss_fn(w):
+        out = S.subm_conv(st, w)
+        return (out.features ** 2).sum()
+
+    g = jax.grad(loss_fn)(w)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
