@@ -1,0 +1,98 @@
+"""Benchmark: CenterPoint VoxelNet training throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured number is training frames/sec/chip at Waymo scale (160k-point
+clouds, 120k voxel cap, 0.1×0.1×0.15 voxels over ±75.2 m, full
+SpMiddleResNetFHD + RPN + CenterHead, forward+backward+adamw). The
+reference publishes no throughput (BASELINE.md); `A100_REF_FPS` below is
+the documented estimate of the reference's per-A100 training throughput
+used as the comparison point, and the BASELINE.json target is ≥2× that.
+vs_baseline = measured_fps / A100_REF_FPS (so the target is ≥2.0).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# Estimated reference training throughput per A100 (CenterPoint Waymo,
+# spconv + torch, bs6/GPU). Not published by the reference; estimate from
+# typical spconv CenterPoint reproductions (~0.25-0.35 s/iter for bs 6).
+A100_REF_FPS = 20.0
+
+
+def main():
+    import jax
+
+    import __graft_entry__ as ge
+
+    bsz = 2
+    model, model_cfg, n_points = ge._flagship(bench_scale=True)
+    batch = ge._batch(n_points, bsz=bsz, pc=70.0)
+
+    import jax.numpy as jnp
+    import optax
+
+    from efg_tpu.engine.train_state import TrainState
+    from efg_tpu.models import centerpoint as CP
+
+    variables = model.init(jax.random.key(0), batch["points"][:1], batch["points_mask"][:1], True)
+    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(3e-3))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+    def step_fn(state, batch):
+        def loss_fn(params):
+            preds, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"], batch["points_mask"], True, mutable=["batch_stats"],
+            )
+            losses = CP.compute_loss(preds, batch, model_cfg=model_cfg)
+            return losses["loss"], mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(step=state.step + 1, params=params, batch_stats=new_bs, opt_state=new_opt),
+            loss,
+        )
+
+    step = jax.jit(step_fn, donate_argnums=(0,))
+
+    # compile + warmup
+    state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    for _ in range(2):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, loss = step(state, batch)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    fps = bsz * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "centerpoint_waymo_train_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / A100_REF_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+from efg_tpu.data.builder import build_dataloader, build_dataset, build_processors
+from efg_tpu.data.registry import DATASETS, PROCESSORS, SAMPLERS
+
+# trigger registrations
+from efg_tpu.data.processors import base as _base  # noqa: F401
+from efg_tpu.data.processors import extend_3d as _e3d  # noqa: F401
+from efg_tpu.data.samplers import dataset_sampler as _ds  # noqa: F401
+from efg_tpu.data.datasets import synthetic as _synth  # noqa: F401
+from efg_tpu.data.datasets import waymo as _waymo  # noqa: F401
+
+__all__ = [
+    "DATASETS", "PROCESSORS", "SAMPLERS",
+    "build_dataset", "build_dataloader", "build_processors",
+]

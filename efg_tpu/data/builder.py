@@ -1,0 +1,195 @@
+"""Dataset / processor / dataloader builders.
+
+Rebuild of `efg/data/builder.py:20-164` for the fixed-shape TPU pipeline:
+the loader emits numpy batches of static shapes — padded points + masks,
+padded GT arrays — ready to be device-put and sharded over the `data` mesh
+axis. Training uses a threaded prefetcher (the reference used torch
+DataLoader worker processes); evaluation iterates in order.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from efg_tpu.data.registry import DATASETS, PROCESSORS, SAMPLERS
+from efg_tpu.utils.seed import seed_all_rng
+
+
+def build_processors(processor_cfgs) -> List[Any]:
+    """YAML list of `Name` or `{Name: kwargs}` → instances
+    (reference `efg/data/builder.py:153-164`)."""
+    out = []
+    for item in processor_cfgs:
+        if isinstance(item, str):
+            out.append(PROCESSORS.get(item)())
+        else:
+            (name, kwargs), = item.items()
+            kwargs = dict(kwargs) if kwargs else {}
+            out.append(PROCESSORS.get(name)(**kwargs))
+    return out
+
+
+def build_dataset(config):
+    return DATASETS.get(config.dataset.type)(config)
+
+
+def pad_gt(
+    annotations: Optional[dict], max_gt: int, box_dim: int = 9
+) -> Dict[str, np.ndarray]:
+    """annotations {gt_boxes [G, D], labels [G]} → fixed [max_gt] arrays."""
+    boxes = np.zeros((max_gt, box_dim), np.float32)
+    classes = np.zeros((max_gt,), np.int32)
+    mask = np.zeros((max_gt,), bool)
+    if annotations is not None and len(annotations.get("gt_boxes", [])) > 0:
+        gb = np.asarray(annotations["gt_boxes"], np.float32)
+        g = min(len(gb), max_gt)
+        d = min(gb.shape[1], box_dim)
+        boxes[:g, :d] = gb[:g, :d]
+        if gb.shape[1] == 7 and box_dim == 9:
+            # 7-dim boxes: move yaw to the last slot, zero velocity
+            boxes[:g, 8] = gb[:g, 6]
+            boxes[:g, 6:8] = 0
+        classes[:g] = np.asarray(annotations["labels"], np.int64)[:g]
+        mask[:g] = True
+    return {"gt_boxes": boxes, "gt_classes": classes, "gt_mask": mask}
+
+
+def collate_fixed(samples: List, max_gt: int) -> Dict[str, Any]:
+    """List of dataset items `(data, info)` → fixed-shape numpy batch.
+    `data` must be the `PadPoints` output dict (points, points_mask)."""
+    batch: Dict[str, Any] = {}
+    pts, msk, gtb, gtc, gtm, metas = [], [], [], [], [], []
+    for data, info in samples:
+        assert isinstance(data, dict) and "points" in data, (
+            "TPU pipeline requires the PadPoints processor as the final "
+            "data transform (fixed-shape contract)"
+        )
+        pts.append(data["points"])
+        msk.append(data["points_mask"])
+        g = pad_gt(info.get("annotations"), max_gt)
+        gtb.append(g["gt_boxes"])
+        gtc.append(g["gt_classes"])
+        gtm.append(g["gt_mask"])
+        metas.append(info.get("metadata", {}))
+    batch["points"] = np.stack(pts)
+    batch["points_mask"] = np.stack(msk)
+    batch["gt_boxes"] = np.stack(gtb)
+    batch["gt_classes"] = np.stack(gtc)
+    batch["gt_mask"] = np.stack(gtm)
+    batch["metadata"] = metas
+    batch["annotations"] = [s[1].get("annotations") for s in samples]
+    return batch
+
+
+class DataLoader:
+    """Minimal prefetching loader over (dataset, sampler)."""
+
+    def __init__(
+        self,
+        dataset,
+        sampler,
+        batch_size: int,
+        max_gt: int = 500,
+        num_workers: int = 0,
+        seed: Optional[int] = None,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.num_workers = num_workers
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        try:
+            n = len(self.sampler)
+        except TypeError:
+            n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _iter_sequential(self) -> Iterator[Dict[str, Any]]:
+        buf = []
+        for idx in self.sampler:
+            buf.append(self.dataset[idx])
+            if len(buf) == self.batch_size:
+                yield collate_fixed(buf, self.max_gt)
+                buf = []
+        if buf and not self.drop_last:
+            while len(buf) < self.batch_size:  # repeat-pad the tail batch
+                buf.append(buf[-1])
+            yield collate_fixed(buf, self.max_gt)
+
+    def _iter_threaded(self) -> Iterator[Dict[str, Any]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=4)
+        idx_iter = iter(self.sampler)
+        lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker(wid: int):
+            if self.seed is not None:
+                seed_all_rng(self.seed + wid)
+            while not stop.is_set():
+                items = []
+                with lock:
+                    try:
+                        for _ in range(self.batch_size):
+                            items.append(next(idx_iter))
+                    except StopIteration:
+                        break
+                if len(items) < self.batch_size:
+                    break
+                batch = collate_fixed([self.dataset[i] for i in items], self.max_gt)
+                out_q.put(batch)
+            out_q.put(None)
+
+        threads = [
+            threading.Thread(target=worker, args=(w,), daemon=True)
+            for w in range(max(1, self.num_workers))
+        ]
+        for t in threads:
+            t.start()
+        finished = 0
+        try:
+            while finished < len(threads):
+                item = out_q.get()
+                if item is None:
+                    finished += 1
+                    continue
+                yield item
+        finally:
+            stop.set()
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.num_workers and self.num_workers > 0:
+            return self._iter_threaded()
+        return self._iter_sequential()
+
+
+def build_dataloader(config, dataset, train: bool = True) -> DataLoader:
+    """Reference `build_dataloader` (`efg/data/builder.py:103-151`)."""
+    dl = config.dataloader
+    max_gt = int(config.dataset.get("max_gt", config.get("model", {}).get("loss", {}).get("max_objs", 500)))
+    if train:
+        sampler_name = dl.get("sampler", "DistributedInfiniteSampler")
+        seed = config.misc.get("seed", -1)
+        sampler = SAMPLERS.get(sampler_name)(
+            len(dataset), shuffle=True, seed=None if seed is None or seed < 0 else seed
+        )
+        return DataLoader(
+            dataset, sampler, int(dl.batch_size), max_gt=max_gt,
+            num_workers=int(dl.get("num_workers", 0)),
+            seed=None if seed is None or seed < 0 else seed,
+        )
+    sampler = SAMPLERS.get(dl.get("eval_sampler", "InferenceSampler"))(len(dataset))
+    return DataLoader(
+        dataset, sampler, int(dl.get("eval_batch_size", dl.batch_size)),
+        max_gt=max_gt, num_workers=0, drop_last=False,
+    )

@@ -1,0 +1,148 @@
+"""Trainer hooks (host-side callbacks around the jitted step).
+
+Rebuild of `efg/engine/hooks.py:44-293`. One deliberate difference: the
+reference's `Optimization` hook (backward + optimizer step in `after_step`)
+doesn't exist here — gradient computation, clipping, and the optimizer
+update are compiled INTO the jitted train step (`trainer.py`), which is the
+TPU-correct factoring. The remaining hooks (timing, writers, checkpoint,
+LR logging, eval) stay host-side.
+"""
+
+from __future__ import annotations
+
+import time
+import weakref
+from typing import List, Optional
+
+from efg_tpu.utils.events import EventWriter, get_event_storage
+from efg_tpu.utils.timer import Timer
+
+
+class HookBase:
+    trainer = None  # weakref proxy, set by the trainer
+
+    def before_train(self):
+        pass
+
+    def after_train(self):
+        pass
+
+    def before_step(self):
+        pass
+
+    def after_step(self):
+        pass
+
+
+class IterTimer(HookBase):
+    """Warmup-aware per-iteration timing (reference `hooks.py:124-174`)."""
+
+    def __init__(self, warmup_iter: int = 3):
+        self._warmup_iter = warmup_iter
+        self._step_timer = Timer()
+        self._start_time = time.perf_counter()
+        self._total_timer = Timer()
+
+    def before_train(self):
+        self._start_time = time.perf_counter()
+        self._total_timer.reset()
+        self._total_timer.pause()
+
+    def after_train(self):
+        storage = get_event_storage()
+        total_time = time.perf_counter() - self._start_time
+        total_compute = self._total_timer.seconds()
+        num_iter = storage.iter - self.trainer.start_iter - self._warmup_iter
+        if num_iter > 0 and total_compute > 0:
+            import logging
+
+            logging.getLogger("efg_tpu").info(
+                f"Total training time: {total_time:.1f}s; "
+                f"{total_compute / num_iter:.4f} s/it over {num_iter} iters"
+            )
+
+    def before_step(self):
+        self._step_timer.reset()
+        self._total_timer.resume()
+
+    def after_step(self):
+        storage = get_event_storage()
+        if storage.iter - self.trainer.start_iter >= self._warmup_iter:
+            storage.put_scalar("time", self._step_timer.seconds(), smoothing_hint=True)
+        else:
+            self._start_time = time.perf_counter()
+            self._total_timer.reset()
+        self._total_timer.pause()
+
+
+class LRSchedulerHook(HookBase):
+    """Log the scheduled LR each step (reference `hooks.py:84-121`; the
+    schedule itself is evaluated inside the jitted update)."""
+
+    def __init__(self, lr_schedule):
+        self._lr_schedule = lr_schedule
+
+    def after_step(self):
+        storage = get_event_storage()
+        lr = float(self._lr_schedule(storage.iter))
+        storage.put_scalar("lr", lr, smoothing_hint=False)
+
+
+class PeriodicWriter(HookBase):
+    """Flush writers every `period` iterations (reference `hooks.py:177-206`)."""
+
+    def __init__(self, writers: List[EventWriter], period: int = 20):
+        self._writers = writers
+        self._period = period
+
+    def after_step(self):
+        storage = get_event_storage()
+        if (storage.iter + 1) % self._period == 0 or (
+            storage.iter == self.trainer.max_iters - 1
+        ):
+            for w in self._writers:
+                w.write()
+
+    def after_train(self):
+        for w in self._writers:
+            w.write()
+            w.close()
+
+
+class PeriodicCheckpoint(HookBase):
+    """Save every `period` iterations + `model_final`
+    (reference `hooks.py:209-239`)."""
+
+    def __init__(self, period: int):
+        self._period = max(1, int(period))
+
+    def after_step(self):
+        it = get_event_storage().iter
+        if (it + 1) % self._period == 0 and it != self.trainer.max_iters - 1:
+            self.trainer.save_checkpoint(f"model_{it:07d}")
+
+    def after_train(self):
+        self.trainer.save_checkpoint("model_final")
+
+
+class EvalHook(HookBase):
+    """Periodic evaluation (reference `hooks.py:242-293`)."""
+
+    def __init__(self, period: int, eval_fn):
+        self._period = int(period)
+        self._eval_fn = eval_fn
+
+    def after_step(self):
+        it = get_event_storage().iter
+        if self._period > 0 and (it + 1) % self._period == 0 and it != self.trainer.max_iters - 1:
+            self._eval_fn()
+
+    def after_train(self):
+        pass
+
+
+def attach(trainer, hooks: List[Optional[HookBase]]) -> List[HookBase]:
+    hooks = [h for h in hooks if h is not None]
+    for h in hooks:
+        h.trainer = weakref.proxy(trainer)
+    return hooks

@@ -1,0 +1,306 @@
+"""Trainer: hook-driven loop around a jitted, mesh-sharded train step.
+
+Rebuild of `efg/engine/trainer.py:27-317`. The step function — forward,
+loss, grad, clip, optimizer update, BN-stat update — is ONE compiled XLA
+program; the batch is sharded over the `data` mesh axis and XLA inserts the
+gradient all-reduce over ICI (replacing DDP/NCCL). Host code does only:
+data feeding, metric/event writing, checkpointing, hooks.
+
+NaN/Inf anomaly detection (reference `_detect_anomaly`, `trainer.py:
+307-311`) is performed on the already-computed loss scalar at logging
+boundaries so it never forces an extra device sync.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from efg_tpu.data.builder import build_dataloader, build_dataset
+from efg_tpu.engine.hooks import (
+    EvalHook,
+    HookBase,
+    IterTimer,
+    LRSchedulerHook,
+    PeriodicCheckpoint,
+    PeriodicWriter,
+    attach,
+)
+from efg_tpu.engine.registry import TRAINERS
+from efg_tpu.engine.train_state import ModelDef, TrainState
+from efg_tpu.parallel.mesh import build_mesh, replicate_tree, shard_batch
+from efg_tpu.solver import build_optimizer, build_scheduler
+from efg_tpu.utils import distributed as comm
+from efg_tpu.utils.events import (
+    CommonMetricPrinter,
+    EventStorage,
+    JSONWriter,
+)
+
+logger = logging.getLogger("efg_tpu")
+
+
+@TRAINERS.register()
+class DefaultTrainer:
+    def __init__(self, config, build_model):
+        self.config = config
+        self.model_def: ModelDef = build_model(config)
+        self.mesh = build_mesh(dict(config.get("mesh", {"axes": ["data", "model"], "shape": [-1, 1]})))
+
+        self.setup_data()
+        self.setup_optimizer()
+        self.setup_state()
+        self.setup_step()
+        self.setup_hooks()
+
+        self.start_iter = 0
+        self.iter = 0
+
+    # ------------------------------------------------------------------ data
+    def setup_data(self):
+        cfg = self.config
+        self.dataset = build_dataset(cfg)
+        self.dataloader = build_dataloader(cfg, self.dataset, train=cfg.task == "train")
+        self._data_iter = None
+
+        # epoch → iteration conversion (reference `trainer.py:145-150`)
+        sched = cfg.solver.lr_scheduler
+        bs = int(cfg.dataloader.batch_size)
+        global_bs = bs * comm.get_world_size()
+        self.iters_per_epoch = max(1, len(self.dataset) // global_bs)
+        if sched.get("max_iters") or 0:
+            self.max_iters = int(sched.max_iters)
+        elif sched.get("max_epochs") or 0:
+            self.max_iters = int(sched.max_epochs * self.iters_per_epoch)
+        else:
+            self.max_iters = 1
+        sched["max_iters"] = self.max_iters
+
+        n_data_devices = self.mesh.shape["data"]
+        assert bs % n_data_devices == 0, (
+            f"dataloader.batch_size={bs} must divide the data mesh axis "
+            f"({n_data_devices} devices)"
+        )
+
+    # ----------------------------------------------------------------- model
+    def setup_optimizer(self):
+        cfg = self.config.solver
+        sched_cfg = dict(cfg.lr_scheduler)
+        sched_cfg["lr"] = cfg.optimizer.lr
+        self.lr_schedule, self.momentum_schedule = build_scheduler(sched_cfg)
+        self.tx = build_optimizer(
+            cfg.optimizer, self.lr_schedule, self.momentum_schedule,
+            grad_clip_cfg=cfg.get("grad_clipper"),
+        )
+
+    def setup_state(self):
+        sample = next(iter(self.dataloader))
+        self._sample_batch = sample
+        kwargs = self.model_def.apply_args(sample)
+        variables = self.model_def.module.init(
+            jax.random.key(max(0, int(self.config.misc.get("seed", 0) or 0))),
+            **kwargs, train=True,
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        opt_state = self.tx.init(params)
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+        logger.info(f"Model parameters: {n_params / 1e6:.2f}M")
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=batch_stats, opt_state=opt_state,
+        )
+        self.state = replicate_tree(state, self.mesh)
+
+    def setup_step(self):
+        model_def = self.model_def
+        tx = self.tx
+
+        def step_fn(state: TrainState, batch: Dict[str, Any]):
+            def loss_fn(params):
+                kwargs = model_def.apply_args(batch)
+                preds, mutated = model_def.module.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    **kwargs, train=True, mutable=["batch_stats"],
+                )
+                losses = model_def.loss_fn(preds, batch)
+                return losses["loss"], (losses, mutated.get("batch_stats", state.batch_stats))
+
+            (loss, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics = {k: v for k, v in losses.items()}
+            metrics["grad_norm"] = optax.global_norm(grads)
+            new_state = TrainState(
+                step=state.step + 1, params=new_params,
+                batch_stats=new_bs, opt_state=new_opt,
+            )
+            return new_state, metrics
+
+        self.train_step = jax.jit(step_fn, donate_argnums=(0,))
+
+        def eval_fn(state: TrainState, batch: Dict[str, Any]):
+            kwargs = model_def.apply_args(batch)
+            preds = model_def.module.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                **kwargs, train=False,
+            )
+            if model_def.predict_fn is None:
+                return preds
+            return model_def.predict_fn(preds, batch)
+
+        self.eval_step = jax.jit(eval_fn)
+
+    # ----------------------------------------------------------------- hooks
+    def setup_hooks(self):
+        cfg = self.config.trainer
+        out_dir = self.output_dir
+        writers = []
+        if comm.is_main_process():
+            writers.append(CommonMetricPrinter(self.max_iters, window_size=int(cfg.window_size)))
+            writers.append(JSONWriter(os.path.join(out_dir, "metrics.json"), int(cfg.window_size)))
+        ckpt_period = cfg.get("checkpoint_iter") or None
+        if ckpt_period is None and cfg.get("checkpoint_epoch"):
+            ckpt_period = int(cfg.checkpoint_epoch * self.iters_per_epoch)
+        if ckpt_period is None:
+            ckpt_period = int(cfg.get("checkpoint_period", 10000))
+        hooks: List[Optional[HookBase]] = [
+            IterTimer(),
+            LRSchedulerHook(self.lr_schedule),
+            PeriodicWriter(writers, period=int(cfg.log_interval)) if writers else None,
+            PeriodicCheckpoint(ckpt_period) if comm.is_main_process() else None,
+        ]
+        self.hooks = attach(self, hooks)
+
+    @property
+    def output_dir(self) -> str:
+        d = self.config.trainer.output_dir
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    # ------------------------------------------------------------ checkpoint
+    def save_checkpoint(self, name: str):
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(self.output_dir, name))
+        state = jax.device_get(self.state)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, state, force=True)
+        logger.info(f"Saved checkpoint to {path}")
+
+    def resume_or_load(self, resume: bool = True):
+        """Resume from the latest `model_*` checkpoint in output_dir
+        (reference `trainer.py:211-245`) or load config.model.weights."""
+        import orbax.checkpoint as ocp
+
+        ckpts = sorted(
+            [
+                f
+                for f in os.listdir(self.output_dir)
+                if f.startswith("model_") and os.path.isdir(os.path.join(self.output_dir, f))
+            ]
+        ) if os.path.isdir(self.output_dir) else []
+        path = None
+        if resume and ckpts:
+            path = os.path.join(self.output_dir, ckpts[-1])
+        elif self.config.model.get("weights"):
+            path = self.config.model.weights
+        if not path:
+            return
+        abstract = jax.device_get(self.state)
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path), abstract)
+        self.state = replicate_tree(restored, self.mesh)
+        self.start_iter = int(restored.step)
+        self.iter = self.start_iter
+        logger.info(f"Restored checkpoint {path} at step {self.start_iter}")
+
+    # ----------------------------------------------------------------- train
+    def train(self):
+        logger.info(f"Starting training: {self.max_iters} iters "
+                    f"({self.iters_per_epoch} it/epoch) on mesh {dict(self.mesh.shape)}")
+        with EventStorage(self.iter) as self.storage:
+            for h in self.hooks:
+                h.before_train()
+            self._data_iter = iter(self.dataloader)
+            pending = None  # (iter, metrics) — fetched one step late to avoid syncs
+            while self.iter < self.max_iters:
+                for h in self.hooks:
+                    h.before_step()
+                batch = next(self._data_iter)
+                device_batch = shard_batch(
+                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
+                    self.mesh,
+                )
+                self.state, metrics = self.train_step(self.state, device_batch)
+                if pending is not None:
+                    self._write_metrics(*pending)
+                pending = (self.iter, metrics)
+                self.storage.iter = self.iter
+                for h in self.hooks:
+                    h.after_step()
+                self.iter += 1
+                self.storage.step()
+            if pending is not None:
+                self._write_metrics(*pending)
+            for h in self.hooks:
+                h.after_train()
+
+    def _write_metrics(self, it: int, metrics: Dict[str, Any]):
+        host = {k: float(v) for k, v in jax.device_get(metrics).items()}
+        loss = host.get("loss", 0.0)
+        if not math.isfinite(loss):
+            raise FloatingPointError(
+                f"Loss became infinite or NaN at iteration={it}! metrics={host}"
+            )
+        cur = self.storage.iter
+        self.storage.iter = it
+        self.storage.put_scalars(**host)
+        self.storage.iter = cur
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, evaluators=None):
+        from efg_tpu.evaluator.build import build_evaluators
+
+        cfg = self.config
+        eval_cfg = type(cfg)(dict(cfg))
+        eval_cfg["task"] = "val"
+        dataset = build_dataset(eval_cfg)
+        loader = build_dataloader(eval_cfg, dataset, train=False)
+        evaluators = evaluators or build_evaluators(cfg, dataset)
+        for ev in evaluators:
+            ev.reset()
+        n_batches = len(loader)
+        for i, batch in enumerate(loader):
+            device_batch = shard_batch(
+                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, self.mesh
+            )
+            outputs = self.eval_step(self.state, device_batch)
+            outputs = jax.device_get(outputs)
+            for ev in evaluators:
+                ev.process(batch, outputs)
+            if (i + 1) % 50 == 0:
+                logger.info(f"Inference {i + 1}/{n_batches}")
+        results = {}
+        for ev in evaluators:
+            r = ev.evaluate()
+            if r:
+                results.update(r)
+        if comm.is_main_process():
+            logger.info(f"Evaluation results: {results}")
+        return results
+
+
+def build_trainer(config, build_model):
+    """Reference `build_trainer` (`efg/engine/__init__.py:1-8`)."""
+    kind = config.trainer.get("type", "DefaultTrainer")
+    return TRAINERS.get(kind)(config, build_model)

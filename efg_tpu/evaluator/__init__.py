@@ -1,0 +1,8 @@
+from efg_tpu.evaluator.build import build_evaluators
+from efg_tpu.evaluator.evaluator import DatasetEvaluator, DatasetEvaluators
+from efg_tpu.evaluator.registry import EVALUATORS
+
+# trigger registrations
+from efg_tpu.evaluator import waymo_evaluator as _waymo  # noqa: F401
+
+__all__ = ["EVALUATORS", "build_evaluators", "DatasetEvaluator", "DatasetEvaluators"]

@@ -209,6 +209,23 @@ def mask_boxes_outside_range(boxes: np.ndarray, limit_range, min_num_corners: in
     return ok.sum(axis=1) >= min_num_corners
 
 
+def mask_boxes_outside_range_bev_z_bound(boxes: np.ndarray, limit_range) -> np.ndarray:
+    """Keep boxes with centers in the BEV range whose z extent intersects the
+    z bound (reference `efg/geometry/box_ops.py:459-478`)."""
+    limit_range = np.asarray(limit_range)
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), dtype=bool)
+    mask1 = (
+        (boxes[:, 0] >= limit_range[0]) & (boxes[:, 0] <= limit_range[3])
+        & (boxes[:, 1] >= limit_range[1]) & (boxes[:, 1] <= limit_range[4])
+    )
+    b7 = boxes[:, [0, 1, 2, 3, 4, 5, boxes.shape[1] - 1]] if boxes.shape[1] > 7 else boxes
+    corners = boxes_to_corners_3d(b7)
+    z = corners[..., 2]
+    outside_z = (z.max(axis=1) < limit_range[2]) ^ (z.min(axis=1) > limit_range[5])
+    return mask1 & ~outside_z
+
+
 def gaussian_radius(det_size, min_overlap: float = 0.5) -> float:
     """CenterNet gaussian radius from box footprint (reference:
     CenterPoint playground `center_utils.py:10-30`)."""
