@@ -58,29 +58,63 @@ def pad_gt(
     return {"gt_boxes": boxes, "gt_classes": classes, "gt_mask": mask}
 
 
+def pad_gt2d(annotations: Optional[dict], max_gt: int) -> Dict[str, np.ndarray]:
+    boxes = np.zeros((max_gt, 4), np.float32)
+    classes = np.zeros((max_gt,), np.int32)
+    mask = np.zeros((max_gt,), bool)
+    if annotations is not None and len(annotations.get("boxes2d", [])) > 0:
+        keep = annotations.get("iscrowd")
+        b = np.asarray(annotations["boxes2d"], np.float32)
+        c = np.asarray(annotations["classes"], np.int64)
+        if keep is not None:
+            sel = np.asarray(keep) == 0
+            b, c = b[sel], c[sel]
+        g = min(len(b), max_gt)
+        boxes[:g] = b[:g]
+        classes[:g] = c[:g]
+        mask[:g] = True
+    return {"gt_boxes2d": boxes, "gt_classes2d": classes, "gt_mask2d": mask}
+
+
 def collate_fixed(samples: List, max_gt: int) -> Dict[str, Any]:
     """List of dataset items `(data, info)` → fixed-shape numpy batch.
-    `data` must be the `PadPoints` output dict (points, points_mask)."""
+    `data` must be a fixed-shape dict: the `PadPoints` output (3D) or the
+    `PadImage` output (2D)."""
     batch: Dict[str, Any] = {}
-    pts, msk, gtb, gtc, gtm, metas = [], [], [], [], [], []
-    for data, info in samples:
-        assert isinstance(data, dict) and "points" in data, (
-            "TPU pipeline requires the PadPoints processor as the final "
-            "data transform (fixed-shape contract)"
-        )
-        pts.append(data["points"])
-        msk.append(data["points_mask"])
-        g = pad_gt(info.get("annotations"), max_gt)
-        gtb.append(g["gt_boxes"])
-        gtc.append(g["gt_classes"])
-        gtm.append(g["gt_mask"])
-        metas.append(info.get("metadata", {}))
-    batch["points"] = np.stack(pts)
-    batch["points_mask"] = np.stack(msk)
-    batch["gt_boxes"] = np.stack(gtb)
-    batch["gt_classes"] = np.stack(gtc)
-    batch["gt_mask"] = np.stack(gtm)
-    batch["metadata"] = metas
+    first = samples[0][0]
+    assert isinstance(first, dict), (
+        "TPU pipeline requires PadPoints/PadImage as the final data "
+        "transform (fixed-shape contract)"
+    )
+    if "points" in first:
+        pts, msk, gtb, gtc, gtm = [], [], [], [], []
+        for data, info in samples:
+            pts.append(data["points"])
+            msk.append(data["points_mask"])
+            g = pad_gt(info.get("annotations"), max_gt)
+            gtb.append(g["gt_boxes"])
+            gtc.append(g["gt_classes"])
+            gtm.append(g["gt_mask"])
+        batch["points"] = np.stack(pts)
+        batch["points_mask"] = np.stack(msk)
+        batch["gt_boxes"] = np.stack(gtb)
+        batch["gt_classes"] = np.stack(gtc)
+        batch["gt_mask"] = np.stack(gtm)
+    elif "image" in first:
+        imgs, gtb, gtc, gtm = [], [], [], []
+        for data, info in samples:
+            imgs.append(data["image"])
+            g = pad_gt2d(info.get("annotations"), max_gt)
+            gtb.append(g["gt_boxes2d"])
+            gtc.append(g["gt_classes2d"])
+            gtm.append(g["gt_mask2d"])
+        batch["images"] = np.stack(imgs)
+        batch["gt_boxes2d"] = np.stack(gtb)
+        batch["gt_classes2d"] = np.stack(gtc)
+        batch["gt_mask2d"] = np.stack(gtm)
+    else:
+        raise ValueError(f"Unknown fixed-shape sample keys: {list(first)}")
+    batch["metadata"] = [s[1].get("metadata", {}) for s in samples]
     batch["annotations"] = [s[1].get("annotations") for s in samples]
     return batch
 

@@ -1,0 +1,139 @@
+"""COCO detection dataset (pycocotools-free JSON loading).
+
+Rebuild of `efg/data/datasets/coco/coco.py:41+` for the fixed-shape
+pipeline: parses `instances_*.json` directly, emits `(image, info)` with
+xyxy `boxes2d` + contiguous 0-based `classes`, runs the 2D processor chain.
+Also a `SyntheticCOCODataset` for data-free smoke runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List
+
+import numpy as np
+
+from efg_tpu.data.base_dataset import BaseDataset
+from efg_tpu.data.builder import build_processors
+from efg_tpu.data.registry import DATASETS
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+@DATASETS.register()
+class COCODataset(BaseDataset):
+    def __init__(self, config):
+        super().__init__(config)
+        d = config.dataset
+        task = config.task if config.task != "test" else "val"
+        source = d.source
+        root = source.root
+        self.image_root = root + source[f"{task}_images"]
+        json_file = root + source[f"{task}_json"]
+        self.is_train = config.task == "train"
+        self.filter_empty = bool(d.get("filter_empty_annotations", True))
+
+        with open(json_file) as f:
+            coco = json.load(f)
+        cat_ids = sorted(c["id"] for c in coco["categories"])
+        self.cat_id_to_contiguous = {cid: i for i, cid in enumerate(cat_ids)}
+        self.contiguous_to_cat_id = {i: cid for cid, i in self.cat_id_to_contiguous.items()}
+        self.class_names = [
+            c["name"] for c in sorted(coco["categories"], key=lambda c: c["id"])
+        ]
+
+        anns_by_img: Dict[int, List[dict]] = {}
+        for a in coco.get("annotations", []):
+            anns_by_img.setdefault(a["image_id"], []).append(a)
+
+        self.items = []
+        for img in coco["images"]:
+            anns = anns_by_img.get(img["id"], [])
+            if self.is_train and self.filter_empty and not any(
+                a.get("iscrowd", 0) == 0 for a in anns
+            ):
+                continue
+            self.items.append((img, anns))
+
+        self.transforms = build_processors(d.processors[config.task if config.task in d.processors else task])
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        img_meta, anns = self.items[idx]
+        path = os.path.join(self.image_root, img_meta["file_name"])
+        image = cv2.imread(path).astype(np.float32)  # BGR, reference format
+
+        boxes, classes, iscrowd, areas = [], [], [], []
+        for a in anns:
+            x, y, w, h = a["bbox"]
+            boxes.append([x, y, x + w, y + h])
+            classes.append(self.cat_id_to_contiguous[a["category_id"]])
+            iscrowd.append(a.get("iscrowd", 0))
+            areas.append(a.get("area", w * h))
+        info = {
+            "metadata": {
+                "image_id": img_meta["id"],
+                "height": img_meta["height"],
+                "width": img_meta["width"],
+            },
+            "annotations": {
+                "boxes2d": np.asarray(boxes, np.float32).reshape(-1, 4),
+                "classes": np.asarray(classes, np.int64),
+                "iscrowd": np.asarray(iscrowd, np.int64),
+                "areas": np.asarray(areas, np.float64),
+            },
+        }
+        return self._apply_transforms(image, info)
+
+
+@DATASETS.register()
+class SyntheticCOCODataset(BaseDataset):
+    """Procedural 2D scenes: colored rectangles on noise — lets the 2D track
+    train/evaluate end-to-end without COCO on disk."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        d = config.dataset
+        self.size = int(d.get("num_frames", 64))
+        self.seed = int(d.get("seed", 0))
+        self.num_classes = int(d.get("num_classes", 5))
+        self.image_size = int(d.get("image_size", 256))
+        task = config.task if config.task != "test" else "val"
+        self.transforms = build_processors(d.processors[config.task if config.task in d.processors else task])
+        self.class_names = [f"class{i}" for i in range(self.num_classes)]
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, idx):
+        rs = np.random.RandomState(self.seed * 9176 + idx)
+        s = self.image_size
+        image = rs.uniform(0, 60, (s, s, 3)).astype(np.float32)
+        k = rs.randint(1, 6)
+        boxes, classes = [], []
+        for _ in range(k):
+            w, h = rs.uniform(s * 0.1, s * 0.4, 2)
+            x0 = rs.uniform(0, s - w)
+            y0 = rs.uniform(0, s - h)
+            cls = rs.randint(self.num_classes)
+            color = np.zeros(3)
+            color[cls % 3] = 150 + 50 * (cls // 3)
+            image[int(y0):int(y0 + h), int(x0):int(x0 + w)] += color
+            boxes.append([x0, y0, x0 + w, y0 + h])
+            classes.append(cls)
+        info = {
+            "metadata": {"image_id": idx, "height": s, "width": s},
+            "annotations": {
+                "boxes2d": np.asarray(boxes, np.float32),
+                "classes": np.asarray(classes, np.int64),
+                "iscrowd": np.zeros(k, np.int64),
+                "areas": np.asarray([(b[2] - b[0]) * (b[3] - b[1]) for b in boxes], np.float64),
+            },
+        }
+        return self._apply_transforms(image, info)

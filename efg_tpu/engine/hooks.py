@@ -141,6 +141,30 @@ class EvalHook(HookBase):
         pass
 
 
+class AugFadeHook(HookBase):
+    """Drop the leading data processor (GT-database sampling) for the last
+    `fade` fraction of training — the reference ConQueR `CustomTrainer`
+    behavior (`conquer/.../env.py:7-25`)."""
+
+    def __init__(self, fade: float, max_iters: int):
+        self._fade_start = int(max_iters * (1.0 - fade))
+        self._faded = False
+
+    def before_step(self):
+        t = self.trainer
+        if not self._faded and t.iter >= self._fade_start:
+            ds = t.dataset
+            if getattr(ds, "transforms", None):
+                ds.transforms = ds.transforms[1:]
+                t._data_iter = iter(t.dataloader)
+            self._faded = True
+            import logging
+
+            logging.getLogger("efg_tpu").info(
+                f"Aug fade at iter {t.iter}: dropped leading processor"
+            )
+
+
 def attach(trainer, hooks: List[Optional[HookBase]]) -> List[HookBase]:
     hooks = [h for h in hooks if h is not None]
     for h in hooks:

@@ -21,6 +21,7 @@ class TrainState:
     params: Any
     batch_stats: Any
     opt_state: Any
+    ema_params: Any = None  # EMA shadow (e.g. ConQueR momentum decoder)
 
 
 class ModelDef:
@@ -31,6 +32,14 @@ class ModelDef:
     apply_args  — batch → kwargs for the module call (arrays only)
     loss_fn     — (preds, batch) → dict with key "loss" (+ metrics)
     predict_fn  — (preds, batch) → per-sample fixed-shape detections
+    custom_loss — optional full-control training loss:
+                  (module, params, batch_stats, ema_params, batch, rng)
+                  → (loss, metrics_dict, new_batch_stats); used by models
+                  that need extra applies inside the grad computation
+                  (e.g. ConQueR's momentum GT decoder)
+    ema_init    — params → ema_params (enables the EMA shadow)
+    ema_update  — (ema_params, new_params) → ema_params, run after each
+                  optimizer step inside the jitted update
     """
 
     def __init__(
@@ -39,8 +48,14 @@ class ModelDef:
         apply_args: Callable[[Dict[str, Any]], Dict[str, Any]],
         loss_fn: Callable,
         predict_fn: Optional[Callable] = None,
+        custom_loss: Optional[Callable] = None,
+        ema_init: Optional[Callable] = None,
+        ema_update: Optional[Callable] = None,
     ):
         self.module = module
         self.apply_args = apply_args
         self.loss_fn = loss_fn
         self.predict_fn = predict_fn
+        self.custom_loss = custom_loss
+        self.ema_init = ema_init
+        self.ema_update = ema_update

@@ -113,9 +113,10 @@ class DefaultTrainer:
         opt_state = self.tx.init(params)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
         logger.info(f"Model parameters: {n_params / 1e6:.2f}M")
+        ema = self.model_def.ema_init(params) if self.model_def.ema_init else None
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
-            batch_stats=batch_stats, opt_state=opt_state,
+            batch_stats=batch_stats, opt_state=opt_state, ema_params=ema,
         )
         self.state = replicate_tree(state, self.mesh)
 
@@ -123,8 +124,18 @@ class DefaultTrainer:
         model_def = self.model_def
         tx = self.tx
 
+        seed = max(0, int(self.config.misc.get("seed", 0) or 0))
+
         def step_fn(state: TrainState, batch: Dict[str, Any]):
+            rng = jax.random.fold_in(jax.random.key(seed), state.step)
+
             def loss_fn(params):
+                if model_def.custom_loss is not None:
+                    loss, losses, new_bs = model_def.custom_loss(
+                        model_def.module, params, state.batch_stats,
+                        state.ema_params, batch, rng,
+                    )
+                    return loss, (losses, new_bs)
                 kwargs = model_def.apply_args(batch)
                 preds, mutated = model_def.module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
@@ -138,11 +149,14 @@ class DefaultTrainer:
             )
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            new_ema = state.ema_params
+            if model_def.ema_update is not None and state.ema_params is not None:
+                new_ema = model_def.ema_update(state.ema_params, new_params)
             metrics = {k: v for k, v in losses.items()}
             metrics["grad_norm"] = optax.global_norm(grads)
             new_state = TrainState(
                 step=state.step + 1, params=new_params,
-                batch_stats=new_bs, opt_state=new_opt,
+                batch_stats=new_bs, opt_state=new_opt, ema_params=new_ema,
             )
             return new_state, metrics
 
@@ -173,9 +187,12 @@ class DefaultTrainer:
             ckpt_period = int(cfg.checkpoint_epoch * self.iters_per_epoch)
         if ckpt_period is None:
             ckpt_period = int(cfg.get("checkpoint_period", 10000))
+        from efg_tpu.engine.hooks import AugFadeHook
+
         hooks: List[Optional[HookBase]] = [
             IterTimer(),
             LRSchedulerHook(self.lr_schedule),
+            AugFadeHook(float(cfg.fade), self.max_iters) if cfg.get("fade") else None,
             PeriodicWriter(writers, period=int(cfg.log_interval)) if writers else None,
             PeriodicCheckpoint(ckpt_period) if comm.is_main_process() else None,
         ]

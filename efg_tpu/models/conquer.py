@@ -1,0 +1,396 @@
+"""ConQueR: Voxel-DETR + contrastive denoising + momentum GT decoder +
+query-contrast InfoNCE.
+
+TPU rebuild of the reference ConQueR experiment (`playground/detection.3d/
+waymo/conquer/ConQueR.waymo.res18.p3.dn3.tau07.noised_only.bs6.epoch6/`:
+`cdn.py:5-139`, `transformer.py:83-89,134-200`, `voxel_detr.py:222-254`).
+Everything fixed-shape: each of the `dn_number` denoising groups holds
+exactly 2·G_max slots (G_max positives then G_max negatives; the reference
+pads to the per-batch max GT count — here G_max is static), invalid GT
+slots are masked out of the losses.
+
+Notable deliberate fix vs the reference: its dn positive index uses
+`arange(len(labels) - 1)` (drops the last GT, an upstream DINO bug,
+`losses.py:160`); we match every valid GT.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flax import linen as nn
+
+from efg_tpu.engine.train_state import ModelDef
+from efg_tpu.models import voxel_detr as VD
+
+
+class _ProjMLP(nn.Module):
+    """Linear-ReLU-Linear projector/predictor (reference
+    `voxel_detr.py:101-113` in the ConQueR variant)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = jax.nn.relu(nn.Dense(self.dim, name="fc0")(x))
+        return nn.Dense(self.dim, name="fc1")(x)
+
+
+class ConQueRModule(nn.Module):
+    """Wrapper holding the DETR trunk + contrastive projector/predictor so
+    one `init` creates every parameter."""
+
+    detr: VD.VoxelDETR
+    contras_dim: int = 256
+    num_classes: int = 3
+
+    @nn.compact
+    def __call__(self, points, points_mask, train: bool, dn_ref=None, dn_attn_mask=None):
+        preds = self.detr(points, points_mask, train,
+                          dn_ref=dn_ref, dn_attn_mask=dn_attn_mask)
+        # touch projector/predictor so init creates their params
+        dummy = jnp.zeros((1, 1, self.num_classes + 7), points.dtype)
+        _ = _ProjMLP(self.contras_dim, name="projector")(dummy)
+        _ = _ProjMLP(self.contras_dim, name="predictor")(
+            jnp.zeros((1, 1, self.contras_dim), points.dtype)
+        )
+        return preds
+
+
+# ---------------------------------------------------------------------------
+# Contrastive denoising query construction (reference `cdn.py:5-139`)
+# ---------------------------------------------------------------------------
+
+def prepare_cdn(
+    gt_boxes_norm: jax.Array,  # [B, G, 7] normalized
+    gt_labels: jax.Array,      # [B, G] 0-based
+    gt_mask: jax.Array,        # [B, G]
+    rng: jax.Array,
+    *,
+    dn_number: int,
+    label_noise_ratio: float,
+    box_noise_scale: float,
+    num_classes: int,
+    num_queries: int,
+):
+    """Returns dn_ref [B, P, 10] (P = 2·G·dn_number), attn_mask
+    [(P+Q), (P+Q)] (True = attend), dn_valid [B, P]."""
+    b, g, _ = gt_boxes_norm.shape
+    p = 2 * g * dn_number
+    k_lbl, k_box, k_sign, k_flip = jax.random.split(rng, 4)
+
+    # tile: groups × (pos, neg) × G
+    boxes = jnp.tile(gt_boxes_norm, (1, 2 * dn_number, 1))  # [B, P, 7]
+    labels = jnp.tile(gt_labels, (1, 2 * dn_number))
+    valid = jnp.tile(gt_mask, (1, 2 * dn_number))
+    # negativeness: within each group, second half
+    half = jnp.concatenate(
+        [jnp.zeros(g, bool), jnp.ones(g, bool)]
+    )
+    is_neg = jnp.tile(half, (dn_number,))[None, :]  # [1, P]
+
+    # label noise (reference flips w.p. ratio/2 to a uniform class)
+    flip = jax.random.uniform(k_flip, (b, p)) < (label_noise_ratio * 0.5)
+    rand_lbl = jax.random.randint(k_lbl, (b, p), 0, num_classes)
+    noised_labels = jnp.where(flip, rand_lbl, labels)
+
+    # box noise in corner form for xyz, direct for the rest
+    lo = boxes[..., :3] - boxes[..., 3:6] / 2
+    hi = boxes[..., :3] + boxes[..., 3:6] / 2
+    diff = jnp.concatenate(
+        [boxes[..., 3:6] / 2, boxes[..., 3:6] / 2, jnp.full_like(boxes[..., 6:7], 0.1)],
+        axis=-1,
+    )
+    sign = jax.random.randint(k_sign, (b, p, 7), 0, 2).astype(boxes.dtype) * 2 - 1
+    rand = jax.random.uniform(k_box, (b, p, 7))
+    rand = rand + is_neg[..., None].astype(rand.dtype)  # negatives pushed out
+    noise = sign * rand * diff * box_noise_scale
+    corner = jnp.concatenate([lo, hi, boxes[..., 6:7]], axis=-1) + noise
+    corner = jnp.clip(corner, 0.0, 1.0)
+    noised = jnp.concatenate(
+        [
+            (corner[..., :3] + corner[..., 3:6]) / 2,
+            corner[..., 3:6] - corner[..., :3],
+            corner[..., 6:7],
+        ],
+        axis=-1,
+    )
+
+    onehot = jax.nn.one_hot(noised_labels, num_classes, dtype=boxes.dtype)
+    dn_ref = jnp.concatenate([noised, onehot], axis=-1)
+    dn_ref = dn_ref * valid[..., None].astype(dn_ref.dtype)
+
+    # attention mask: groups see only themselves; queries see only queries
+    t = p + num_queries
+    group = jnp.arange(t) // (2 * g)
+    group = jnp.where(jnp.arange(t) >= p, dn_number, group)  # queries
+    attn_mask = group[:, None] == group[None, :]
+    return dn_ref, attn_mask, valid
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+def dn_loss(
+    dn_logits: jax.Array,  # [D, B, P, C]
+    dn_boxes: jax.Array,   # [D, B, P, 7]
+    tgt_boxes: jax.Array, tgt_labels: jax.Array, tgt_mask: jax.Array,
+    num_boxes: jax.Array, mw: Dict[str, float], dn_number: int,
+) -> Dict[str, jax.Array]:
+    """Denoising loss: identity matching — positive slot i of every group
+    reconstructs GT i (reference `Det3DLoss.forward` dn branch)."""
+    d, b, p, c = dn_logits.shape
+    g = p // (2 * dn_number)
+    # positive slot indices per group: [dn, G] → [B, dn*G]
+    pos_slots = (jnp.arange(dn_number)[:, None] * 2 * g + jnp.arange(g)[None, :]).reshape(-1)
+    losses: Dict[str, jax.Array] = {}
+    norm = num_boxes * dn_number
+    tiled_boxes = jnp.tile(tgt_boxes, (1, dn_number, 1))
+    tiled_labels = jnp.tile(tgt_labels, (1, dn_number))
+    tiled_mask = jnp.tile(tgt_mask, (1, dn_number))
+    for li in range(d):
+        logits = dn_logits[li]
+        boxes = dn_boxes[li]
+        onehot = jnp.zeros((b, p, c), logits.dtype)
+        flat_lbl = jnp.clip(tiled_labels, 0, c - 1)
+        onehot = onehot.at[
+            jnp.arange(b)[:, None], pos_slots[None, :], flat_lbl
+        ].set(tiled_mask.astype(logits.dtype))
+        loss_ce = VD.sigmoid_focal_loss(logits, onehot).sum() / norm
+
+        pb = boxes[:, pos_slots]  # [B, dn*G, 7]
+        okf = tiled_mask[..., None].astype(boxes.dtype)
+        loss_bbox = (jnp.abs(pb[..., :6] - tiled_boxes[..., :6]) * okf).sum() / norm
+        loss_rad = (jnp.abs(pb[..., 6:] - tiled_boxes[..., 6:]) * okf).sum() / norm
+        giou = jax.vmap(lambda a_, b_: jnp.diagonal(VD.aligned_giou_3d(a_, b_)))(
+            pb, tiled_boxes
+        )
+        loss_giou = ((1 - giou) * tiled_mask.astype(giou.dtype)).sum() / norm
+
+        sfx = "_dn" if li == d - 1 else f"_dn_{li}"
+        losses["loss_ce" + sfx] = mw["class"] * loss_ce
+        losses["loss_bbox" + sfx] = mw["bbox"] * loss_bbox
+        losses["loss_giou" + sfx] = mw["giou"] * loss_giou
+        losses["loss_rad" + sfx] = mw["rad"] * loss_rad
+    return losses
+
+
+def query_contrast_loss(
+    pred_logits: jax.Array,  # [B, Q, C]  (one decoder layer)
+    pred_boxes: jax.Array,   # [B, Q, 7]
+    gt_logits: jax.Array,    # [B, (dn+1)*G, C] momentum-decoder outputs
+    gt_boxes_out: jax.Array, # [B, (dn+1)*G, 7]
+    assign: jax.Array,       # [B, G] matched query per GT (-1 invalid)
+    gt_mask: jax.Array,      # [B, G]
+    *,
+    projector, predictor, params_proj, params_pred,
+    tau: float, dn_number: int,
+) -> jax.Array:
+    """InfoNCE between momentum GT embeddings (positive: the noised copies
+    of the same GT) and matched query embeddings (reference
+    `voxel_detr.py:222-254`)."""
+    b, q, c = pred_logits.shape
+    g = assign.shape[1]
+
+    pred_feat = jnp.concatenate([pred_logits, pred_boxes], axis=-1)  # [B, Q, 10]
+    gt_feat = jnp.concatenate([gt_logits, gt_boxes_out], axis=-1)
+
+    gt_proj = projector.apply({"params": params_proj}, jax.lax.stop_gradient(gt_feat))
+    pred_proj = predictor.apply(
+        {"params": params_pred}, projector.apply({"params": params_proj}, pred_feat)
+    )
+
+    def norm(x):
+        return x / jnp.clip(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8, None)
+
+    sim = jnp.einsum("bld,bqd->blq", norm(gt_proj), norm(pred_proj)) / tau  # [B, L, Q]
+
+    ok = assign >= 0
+    a = jnp.where(ok, assign, 0)
+    # negatives: queries not matched to any GT of the sample
+    matched_onehot = (
+        jnp.zeros((b, q + 1), bool).at[jnp.arange(b)[:, None], jnp.where(ok, a, q)].set(True)
+    )[:, :q]
+    neg_mask = ~matched_onehot  # [B, Q]
+
+    total = jnp.zeros((), sim.dtype)
+    for pi in range(1, dn_number + 1):  # positive groups (noised copies)
+        slot = pi * g + jnp.arange(g)[None, :]  # [1, G]
+        slot = jnp.broadcast_to(slot, (b, g))
+        pos = jnp.take_along_axis(
+            jnp.take_along_axis(sim, slot[..., None], axis=1), a[..., None], axis=2
+        )[..., 0]  # [B, G]
+        row = jnp.take_along_axis(sim, slot[..., None], axis=1)  # [B, G, Q]
+        neg_exp = (jnp.exp(row) * neg_mask[:, None, :].astype(row.dtype)).sum(-1)
+        loss = jnp.log(jnp.exp(pos) + neg_exp) - pos  # [B, G]
+        total = total + (loss * ok.astype(loss.dtype)).sum() / dn_number
+    num_gts = jnp.maximum(gt_mask.sum().astype(sim.dtype), 1.0)
+    return total / num_gts
+
+
+# ---------------------------------------------------------------------------
+# Full training loss (the ModelDef.custom_loss implementation)
+# ---------------------------------------------------------------------------
+
+def conquer_train_loss(
+    module: ConQueRModule,
+    params, batch_stats, ema_params, batch, rng,
+    *,
+    model_cfg: Dict[str, Any],
+):
+    """Forward with CDN queries, momentum-GT decode with EMA params, full
+    loss = VoxelDETR losses + dn losses + query-contrast. This is the
+    `ModelDef.custom_loss` implementation."""
+    cfg_dn = model_cfg["dn"]
+    cfg_ct = model_cfg["contrastive"]
+    mw = model_cfg["loss_weights"]
+    coder = VD.VoxelBoxCoder3D(model_cfg["voxel_size"], model_cfg["pc_range"])
+
+    detr = module.detr
+    projector = _ProjMLP(module.contras_dim)
+    predictor = _ProjMLP(module.contras_dim)
+
+    tgt_boxes = coder.encode(batch["gt_boxes"])
+    tgt_labels = jnp.clip(batch["gt_classes"] - 1, 0, None)
+    tgt_mask = batch["gt_mask"]
+    num_boxes = jnp.maximum(tgt_mask.sum().astype(jnp.float32), 1.0)
+    num_classes = detr.num_classes
+
+    dn_ref, attn_mask, dn_valid = prepare_cdn(
+        tgt_boxes, tgt_labels, tgt_mask, rng,
+        dn_number=cfg_dn["dn_number"],
+        label_noise_ratio=cfg_dn["dn_label_noise_ratio"],
+        box_noise_scale=cfg_dn["dn_box_noise_scale"],
+        num_classes=num_classes,
+        num_queries=detr.num_queries,
+    )
+
+    model_params = params["detr"]
+    model_bs = batch_stats.get("detr", {}) if batch_stats else {}
+    preds, mutated = detr.apply(
+        {"params": model_params, "batch_stats": model_bs},
+        batch["points"], batch["points_mask"], True,
+        dn_ref=dn_ref, dn_attn_mask=attn_mask,
+        mutable=["batch_stats"],
+    )
+
+    losses = VD.compute_loss(preds, batch, model_cfg=model_cfg)
+    losses.pop("loss")
+
+    # denoising losses
+    losses.update(
+        dn_loss(
+            preds["dn_logits"], preds["dn_boxes"],
+            tgt_boxes, tgt_labels, tgt_mask, num_boxes, mw, cfg_dn["dn_number"],
+        )
+    )
+
+    # ---- momentum GT decoder + query contrast -----------------------------
+    b, g = tgt_mask.shape
+    onehot_gt = jax.nn.one_hot(tgt_labels, num_classes, dtype=tgt_boxes.dtype)
+    clean_ref = jnp.concatenate([tgt_boxes, onehot_gt], axis=-1)
+    clean_ref = clean_ref * tgt_mask[..., None].astype(clean_ref.dtype)
+    # positive noised groups from the dn queries: group gi occupies
+    # [2G*gi, 2G*gi + G)
+    pos_groups = [
+        dn_ref[:, 2 * g * gi : 2 * g * gi + g] for gi in range(cfg_dn["dn_number"])
+    ]
+    gt_proposals = jnp.concatenate([clean_ref] + pos_groups, axis=1)
+    n_groups = cfg_dn["dn_number"] + 1
+    grp = jnp.arange(n_groups * g) // g
+    gt_attn = grp[:, None] == grp[None, :]
+
+    ema = ema_params if ema_params is not None else {"decoder": model_params["decoder"]}
+    gt_logits, gt_boxes_out = detr.apply(
+        {"params": {**model_params, "decoder": ema["decoder"]},
+         "batch_stats": mutated.get("batch_stats", model_bs)},
+        jax.lax.stop_gradient(preds["memory_levels"]), gt_proposals, False,
+        attn_mask=gt_attn,
+        method=VD.VoxelDETR.run_decoder,
+    )
+    gt_logits = jax.lax.stop_gradient(gt_logits)
+    gt_boxes_out = jax.lax.stop_gradient(gt_boxes_out)
+
+    # matched indices of the FINAL layer for contrast (reference uses
+    # per-layer matches; final-layer match is reused across layers here)
+    cost = jax.vmap(
+        lambda lg, bx, tb, tl, tm: VD.match_cost(lg, bx, tb, tl, tm, mw)
+    )(preds["dec_logits"][-1], preds["dec_boxes"][-1], tgt_boxes, tgt_labels, tgt_mask)
+    from efg_tpu.ops.matcher import hungarian_match
+
+    assign = hungarian_match(cost, tgt_mask)
+
+    d = preds["dec_logits"].shape[0]
+    for li in range(d):
+        closs = query_contrast_loss(
+            preds["dec_logits"][li], preds["dec_boxes"][li],
+            gt_logits[li], gt_boxes_out[li],
+            assign, tgt_mask,
+            projector=projector, predictor=predictor,
+            params_proj=params["projector"], params_pred=params["predictor"],
+            tau=cfg_ct["tau"], dn_number=cfg_dn["dn_number"],
+        )
+        losses[f"loss_contrastive_dec_{li}"] = cfg_ct["loss_coeff"] * closs
+
+    loss = sum(losses.values())
+    losses["loss"] = loss
+    new_bs = {"detr": mutated.get("batch_stats", model_bs)} if batch_stats else batch_stats
+    return loss, losses, new_bs
+
+
+# ---------------------------------------------------------------------------
+# ModelDef builder
+# ---------------------------------------------------------------------------
+
+def make_model_def(detr_kwargs: Dict[str, Any], model_cfg: Dict[str, Any]) -> ModelDef:
+    """Assemble the ConQueR ModelDef: wrapper module, custom training loss,
+    EMA momentum decoder (reference `_momentum_update_gt_decoder`,
+    `transformer.py:83-89`)."""
+    detr = VD.VoxelDETR(**detr_kwargs)
+    module = ConQueRModule(
+        detr=detr,
+        contras_dim=int(model_cfg["contrastive"].get("dim", 256)),
+        num_classes=detr.num_classes,
+    )
+    mom = float(model_cfg["contrastive"].get("mom", 0.999))
+
+    def apply_args(batch):
+        return dict(points=batch["points"], points_mask=batch["points_mask"])
+
+    def custom_loss(mod, params, batch_stats, ema_params, batch, rng):
+        return conquer_train_loss(
+            mod, params, batch_stats, ema_params, batch, rng, model_cfg=model_cfg
+        )
+
+    def loss_fn(preds, batch):  # only used by eval paths
+        return VD.compute_loss(preds, batch, model_cfg=model_cfg)
+
+    def predict_fn(preds, batch):
+        return VD.predict(preds, model_cfg=model_cfg)
+
+    def ema_init(params):
+        # materialize real copies: the state is donated to the jitted step,
+        # so EMA must not alias the parameter buffers
+        return {
+            "decoder": jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params["detr"]["decoder"]
+            )
+        }
+
+    def ema_update(ema, new_params):
+        return {
+            "decoder": jax.tree_util.tree_map(
+                lambda e, p: e * mom + p * (1.0 - mom),
+                ema["decoder"], new_params["detr"]["decoder"],
+            )
+        }
+
+    return ModelDef(
+        module, apply_args, loss_fn, predict_fn,
+        custom_loss=custom_loss, ema_init=ema_init, ema_update=ema_update,
+    )

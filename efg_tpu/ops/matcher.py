@@ -35,7 +35,14 @@ def _solve_batch(cost: np.ndarray, gt_mask: np.ndarray) -> np.ndarray:
 
 
 def hungarian_match(cost: jax.Array, gt_mask: jax.Array) -> jax.Array:
-    """[B, Q, G] cost + [B, G] mask → [B, G] matched query index (-1 pad)."""
+    """[B, Q, G] cost + [B, G] mask → [B, G] matched query index (-1 pad).
+
+    The assignment is a non-differentiable decision (the reference matcher
+    runs under `torch.no_grad`, `modules/matcher.py:20`), so gradients are
+    stopped before the host callback.
+    """
+    cost = jax.lax.stop_gradient(cost)
+    gt_mask = jax.lax.stop_gradient(gt_mask)
     b, _, g = cost.shape
     return jax.pure_callback(
         _solve_batch,

@@ -1,0 +1,157 @@
+"""Voxel-DETR end-to-end tiny tests + unit tests for its ops."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from efg_tpu.models import voxel_detr as VD
+from efg_tpu.ops import box_attention as BA
+from efg_tpu.ops.matcher import hungarian_match
+
+PC = (-8.0, -8.0, -2.0, 8.0, 8.0, 4.0)
+VOX = (0.1, 0.1, 0.15)
+
+MODEL_CFG = dict(
+    pc_range=PC, voxel_size=VOX,
+    loss_weights={"class": 1.0, "bbox": 4.0, "giou": 2.0, "rad": 4.0},
+)
+
+
+def test_hungarian_matcher_basic():
+    cost = jnp.asarray(
+        [[[1.0, 9.0], [9.0, 1.0], [5.0, 5.0]]]  # [1, Q=3, G=2]
+    )
+    mask = jnp.asarray([[True, True]])
+    out = np.asarray(hungarian_match(cost, mask))
+    np.testing.assert_array_equal(out[0], [0, 1])
+    # masked column gets -1
+    mask2 = jnp.asarray([[True, False]])
+    out2 = np.asarray(hungarian_match(cost, mask2))
+    assert out2[0, 0] == 0 and out2[0, 1] == -1
+
+
+def test_hungarian_under_jit():
+    @jax.jit
+    def f(c, m):
+        return hungarian_match(c, m)
+
+    cost = jnp.asarray(np.random.RandomState(0).rand(2, 8, 4).astype(np.float32))
+    mask = jnp.ones((2, 4), bool)
+    out = np.asarray(f(cost, mask))
+    assert out.shape == (2, 4)
+    assert (out >= 0).all() and (out < 8).all()
+    # each query assigned at most once
+    for b in range(2):
+        assert len(set(out[b])) == 4
+
+
+def test_box_attention_sample_uniform_weights_center():
+    # constant value map → sampling must return that constant
+    b, h, w, nh, hd = 1, 8, 8, 2, 4
+    value = jnp.full((b, h, w, nh * hd), 3.0)
+    grids = jnp.full((b, 5, nh, 1, 9, 2), 0.5)  # all sample at center
+    weights = jnp.full((b, 5, nh, 1, 9), 1.0 / 9)
+    out = BA.box_attention_sample([value], grids, weights, num_heads=nh)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_box_attention_grid_rotation():
+    ki = BA.kernel_indices(3)
+    ref_boxes = jnp.zeros((1, 1, 1, 1, 4)).at[..., :2].set(0.5).at[..., 2:].set(0.2)
+    ref_angles = jnp.zeros((1, 1, 1, 1, 1))
+    off = jnp.zeros((1, 1, 1, 1, 4))
+    g0 = BA.make_box_grids(ref_boxes, ref_angles, off, None, ki)
+    # 90° rotation: angle normalized 0.25 → pi/2
+    g90 = BA.make_box_grids(ref_boxes, ref_angles + 0.25, off, None, ki)
+    # rotating the grid by 90° maps (dx, dy) → (-dy, dx)
+    d0 = np.asarray(g0[0, 0, 0, 0]) - 0.5
+    d90 = np.asarray(g90[0, 0, 0, 0]) - 0.5
+    np.testing.assert_allclose(d90[:, 0], -d0[:, 1], atol=1e-6)
+    np.testing.assert_allclose(d90[:, 1], d0[:, 0], atol=1e-6)
+
+
+def test_box_coder_roundtrip():
+    coder = VD.VoxelBoxCoder3D(VOX, PC)
+    rs = np.random.RandomState(0)
+    boxes9 = np.column_stack(
+        [
+            rs.uniform(-7, 7, (16, 2)), rs.uniform(-1, 3, 16),
+            rs.uniform(0.5, 5, (16, 3)), rs.randn(16, 2),
+            rs.uniform(-np.pi, np.pi, 16),
+        ]
+    ).astype(np.float32)
+    enc = coder.encode(jnp.asarray(boxes9))
+    assert (np.asarray(enc) >= 0).all() and (np.asarray(enc) <= 1).all()
+    dec = np.asarray(coder.decode(enc))
+    np.testing.assert_allclose(dec[:, :6], boxes9[:, :6], atol=1e-4)
+    np.testing.assert_allclose(dec[:, 6], boxes9[:, 8], atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def detr_setup():
+    model = VD.VoxelDETR(
+        pc_range=PC, voxel_size=VOX, max_voxels=2048,
+        resnet_caps=(1536, 1024, 512, 256),
+        hidden_dim=32, num_head=4, enc_layers=1, dec_layers=2,
+        dim_feedforward=64, num_queries=16, num_classes=3,
+    )
+    rs = np.random.RandomState(0)
+    pts = np.concatenate(
+        [rs.uniform(-7, 7, (2, 1024, 3)), rs.uniform(0, 1, (2, 1024, 2))], axis=-1
+    ).astype(np.float32)
+    gt = np.zeros((2, 8, 9), np.float32)
+    gt[:, :3, :3] = rs.uniform(-6, 6, (2, 3, 3))
+    gt[:, :3, 3:6] = rs.uniform(1, 4, (2, 3, 3))
+    gt[:, :3, 8] = rs.uniform(-np.pi, np.pi, (2, 3))
+    batch = dict(
+        points=jnp.asarray(pts),
+        points_mask=jnp.ones((2, 1024), bool),
+        gt_boxes=jnp.asarray(gt),
+        gt_classes=jnp.zeros((2, 8), jnp.int32).at[:, :3].set(jnp.asarray([[1, 2, 3], [2, 1, 3]])),
+        gt_mask=jnp.zeros((2, 8), bool).at[:, :3].set(True),
+    )
+    variables = model.init(jax.random.key(0), batch["points"], batch["points_mask"], True)
+    return model, variables, batch
+
+
+def test_detr_forward_shapes(detr_setup):
+    model, variables, batch = detr_setup
+    preds, _ = model.apply(
+        variables, batch["points"], batch["points_mask"], True, mutable=["batch_stats"]
+    )
+    assert preds["dec_logits"].shape == (2, 2, 16, 3)
+    assert preds["dec_boxes"].shape == (2, 2, 16, 7)
+    assert preds["topk_idx"].shape == (2, 16)
+    assert np.isfinite(np.asarray(preds["dec_boxes"])).all()
+    assert (np.asarray(preds["dec_boxes"]) >= 0).all()
+    assert (np.asarray(preds["dec_boxes"]) <= 1).all()
+
+
+def test_detr_loss_and_grads(detr_setup):
+    model, variables, batch = detr_setup
+
+    def loss_fn(params):
+        preds, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch["points"], batch["points_mask"], True, mutable=["batch_stats"],
+        )
+        losses = VD.compute_loss(preds, batch, model_cfg=MODEL_CFG)
+        return losses["loss"], losses
+
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    assert np.isfinite(float(loss)), losses
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    assert sum(float(np.abs(np.asarray(g)).sum()) for g in flat) > 0
+    assert "loss_ce_enc" in losses and "loss_giou_0" in losses and "loss_ce" in losses
+
+
+def test_detr_predict(detr_setup):
+    model, variables, batch = detr_setup
+    preds = model.apply(variables, batch["points"], batch["points_mask"], False)
+    out = VD.predict(preds, model_cfg=MODEL_CFG, top_k=20)
+    assert out["box3d"].shape == (2, 20, 7)
+    assert out["labels"].min() >= 1 and out["labels"].max() <= 3
+    assert np.isfinite(np.asarray(out["box3d"])).all()
