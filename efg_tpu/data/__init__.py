@@ -9,6 +9,7 @@ from efg_tpu.data.samplers import dataset_sampler as _ds  # noqa: F401
 from efg_tpu.data.datasets import synthetic as _synth  # noqa: F401
 from efg_tpu.data.datasets import waymo as _waymo  # noqa: F401
 from efg_tpu.data.datasets import coco as _coco  # noqa: F401
+from efg_tpu.data.datasets import nuscenes as _nusc  # noqa: F401
 
 __all__ = [
     "DATASETS", "PROCESSORS", "SAMPLERS",

@@ -5,5 +5,6 @@ from efg_tpu.evaluator.registry import EVALUATORS
 # trigger registrations
 from efg_tpu.evaluator import waymo_evaluator as _waymo  # noqa: F401
 from efg_tpu.evaluator import coco_evaluator as _cocoev  # noqa: F401
+from efg_tpu.evaluator import nuscenes_evaluator as _nuscev  # noqa: F401
 
 __all__ = ["EVALUATORS", "build_evaluators", "DatasetEvaluator", "DatasetEvaluators"]

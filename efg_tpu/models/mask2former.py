@@ -1,0 +1,389 @@
+"""Mask2Former: universal segmentation (panoptic / instance / semantic).
+
+TPU rebuild of the reference experiment (`playground/panoptic_seg/coco/
+mask2former/mask2former.pano_coco.res50.bs16.50e/`: `mask2former.py:18-344`,
+`pixel_decoder/msdeformattn.py`, `transformer_decoder/
+mask2former_transformer_decoder.py`, `criterion.py`, `matcher.py`):
+
+- ResNet → MSDeformAttn pixel decoder (deformable encoder over the three
+  low-res scales + FPN fuse up to 1/4) → per-pixel mask features
+- masked-attention transformer decoder: Q learnable queries cycle through
+  the three scales; cross-attention is masked to each query's current
+  predicted mask region
+- set criterion: Hungarian matching + class CE + point-sampled mask BCE +
+  dice (uniform point sampling on TPU — the reference's importance
+  sampling needs data-dependent gather shapes; uniform sampling with the
+  same point budget is the fixed-shape equivalent)
+
+Fixed shapes throughout: static image size, G_max GT instances with masks
+rasterized host-side, K sampled points.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from efg_tpu.modeling.backbones.resnet import ResNet
+from efg_tpu.ops.matcher import hungarian_match
+from efg_tpu.ops.ms_deform_attn import ms_deform_attn_sample
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+from efg_tpu.modeling.backbones.fpn import PositionEmbeddingSine as PositionEmbeddingSine2D  # noqa: E402
+
+
+class MSDeformAttnLayer(nn.Module):
+    d_model: int = 256
+    num_heads: int = 8
+    num_levels: int = 3
+    num_points: int = 4
+    dim_feedforward: int = 1024
+
+    @nn.compact
+    def __call__(self, src, pos, shapes, ref_points):
+        """src [B, L, C] flattened multi-scale; ref_points [L, 2] normalized."""
+        b, l, c = src.shape
+        q = src + pos
+        off = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points * 2,
+            kernel_init=nn.initializers.zeros, name="sampling_offsets",
+        )(q).reshape(b, l, self.num_heads, self.num_levels, self.num_points, 2)
+        attn = nn.Dense(
+            self.num_heads * self.num_levels * self.num_points,
+            kernel_init=nn.initializers.zeros, name="attention_weights",
+        )(q).reshape(b, l, self.num_heads, self.num_levels * self.num_points)
+        attn = jax.nn.softmax(attn, -1).reshape(
+            b, l, self.num_heads, self.num_levels, self.num_points
+        )
+        value = nn.Dense(self.d_model, kernel_init=_xavier, name="value_proj")(src)
+
+        # normalized sampling locations per level
+        wh = jnp.asarray([[w, h] for (h, w) in shapes], jnp.float32)  # [NL, 2]
+        loc = ref_points[None, :, None, None, None, :] + off / wh[None, None, None, :, None, :]
+
+        def unflatten(x):
+            outs, start = [], 0
+            for h, w in shapes:
+                outs.append(x[:, start : start + h * w].reshape(b, h, w, -1))
+                start += h * w
+            return outs
+
+        sampled = ms_deform_attn_sample(
+            unflatten(value), loc, attn, num_heads=self.num_heads
+        )
+        sampled = nn.Dense(self.d_model, kernel_init=_xavier, name="output_proj")(sampled)
+        src = nn.LayerNorm(name="norm1")(src + sampled)
+        ff = nn.Dense(self.d_model, name="linear2")(
+            jax.nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(src))
+        )
+        return nn.LayerNorm(name="norm2")(src + ff)
+
+
+class PixelDecoder(nn.Module):
+    """MSDeformAttn encoder over res3-5 + FPN fuse to res2
+    (reference `pixel_decoder/msdeformattn.py`)."""
+
+    d_model: int = 256
+    num_layers: int = 6
+    mask_dim: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Dict[str, jax.Array], train: bool):
+        names = ["res3", "res4", "res5"]  # high→low res
+        pos_enc = PositionEmbeddingSine2D(self.d_model // 2)
+        levels, poss, shapes = [], [], []
+        for f in names:
+            x = nn.Conv(self.d_model, (1, 1), name=f"input_proj_{f}")(feats[f])
+            x = nn.GroupNorm(num_groups=32, name=f"input_gn_{f}")(x)
+            levels.append(x)
+            poss.append(pos_enc(x))
+            shapes.append(x.shape[1:3])
+        b = levels[0].shape[0]
+        src = jnp.concatenate([x.reshape(b, -1, self.d_model) for x in levels], 1)
+        pos = jnp.concatenate([p.reshape(b, -1, self.d_model) for p in poss], 1)
+        lvl_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (3, self.d_model)
+        )
+        offs = []
+        for i, (h, w) in enumerate(shapes):
+            offs.append(jnp.broadcast_to(lvl_embed[i], (h * w, self.d_model)))
+        pos = pos + jnp.concatenate(offs, 0)[None]
+
+        refs = []
+        for h, w in shapes:
+            ry, rx = jnp.meshgrid(
+                (jnp.arange(h) + 0.5) / h, (jnp.arange(w) + 0.5) / w, indexing="ij"
+            )
+            refs.append(jnp.stack([rx.reshape(-1), ry.reshape(-1)], -1))
+        ref_points = jnp.concatenate(refs, 0).astype(src.dtype)
+
+        for i in range(self.num_layers):
+            src = MSDeformAttnLayer(self.d_model, name=f"layer{i}")(src, pos, shapes, ref_points)
+
+        outs, start = [], 0
+        for h, w in shapes:
+            outs.append(src[:, start : start + h * w].reshape(b, h, w, self.d_model))
+            start += h * w
+
+        # FPN fuse up to res2 → mask features at 1/4
+        lat = nn.Conv(self.d_model, (1, 1), name="adapter_res2")(feats["res2"])
+        lat = nn.GroupNorm(num_groups=32, name="adapter_gn")(lat)
+        up = jax.image.resize(outs[0], lat.shape[:1] + lat.shape[1:3] + (self.d_model,), "nearest")
+        y = lat + up
+        y = nn.Conv(self.d_model, (3, 3), padding=1, name="fuse_res2")(y)
+        y = jax.nn.relu(nn.GroupNorm(num_groups=32, name="fuse_gn")(y))
+        mask_features = nn.Conv(self.mask_dim, (3, 3), padding=1, name="mask_features")(y)
+        return mask_features, outs  # [B, H/4, W/4, D], 3 decoder scales
+
+
+class DecoderLayerM2F(nn.Module):
+    d_model: int = 256
+    num_heads: int = 8
+    dim_feedforward: int = 2048
+
+    @nn.compact
+    def __call__(self, queries, q_pos, memory, m_pos, attn_mask):
+        """Masked cross-attn → self-attn → FFN (pre-order as reference)."""
+        x = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, name="cross_attn"
+        )(queries + q_pos, inputs_k=memory + m_pos, inputs_v=memory, mask=attn_mask)
+        queries = nn.LayerNorm(name="norm1")(queries + x)
+        x = nn.MultiHeadDotProductAttention(num_heads=self.num_heads, name="self_attn")(
+            queries + q_pos, inputs_k=queries + q_pos, inputs_v=queries
+        )
+        queries = nn.LayerNorm(name="norm2")(queries + x)
+        ff = nn.Dense(self.d_model, name="linear2")(
+            jax.nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(queries))
+        )
+        return nn.LayerNorm(name="norm3")(queries + ff)
+
+
+class Mask2Former(nn.Module):
+    num_classes: int = 80
+    num_queries: int = 100
+    d_model: int = 256
+    dec_layers: int = 9  # 3 rounds over 3 scales
+    depth: int = 50
+    freeze_at: int = 0
+    mask_threshold_for_attn: float = 0.5
+
+    @nn.compact
+    def __call__(self, images, train: bool) -> Dict[str, Any]:
+        feats = ResNet(
+            depth=self.depth, out_features=("res2", "res3", "res4", "res5"),
+            freeze_at=self.freeze_at, name="backbone",
+        )(images, train)
+        mask_features, scales = PixelDecoder(
+            self.d_model, mask_dim=self.d_model, name="pixel_decoder"
+        )(feats, train)
+
+        pos_enc = PositionEmbeddingSine2D(self.d_model // 2)
+        b = images.shape[0]
+        q = self.num_queries
+        query_feat = self.param("query_feat", nn.initializers.normal(1.0), (q, self.d_model))
+        query_embed = self.param("query_embed", nn.initializers.normal(1.0), (q, self.d_model))
+        queries = jnp.broadcast_to(query_feat[None], (b, q, self.d_model))
+        q_pos = jnp.broadcast_to(query_embed[None], (b, q, self.d_model))
+
+        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        class_embed = nn.Dense(self.num_classes + 1, name="class_embed")
+        mask_mlp = [
+            nn.Dense(self.d_model, name="mask_embed0"),
+            nn.Dense(self.d_model, name="mask_embed1"),
+            nn.Dense(self.d_model, name="mask_embed2"),
+        ]
+
+        def predict_heads(x):
+            x = decoder_norm(x)
+            cls = class_embed(x)
+            memb = x
+            for lin in mask_mlp[:-1]:
+                memb = jax.nn.relu(lin(memb))
+            memb = mask_mlp[-1](memb)
+            masks = jnp.einsum("bqc,bhwc->bqhw", memb, mask_features)
+            return cls, masks
+
+        all_cls, all_masks = [], []
+        cls0, masks0 = predict_heads(queries)
+        all_cls.append(cls0)
+        all_masks.append(masks0)
+        cur_masks = masks0
+
+        # memory per scale (low→high res order res5, res4, res3)
+        mems, mposs, mshapes = [], [], []
+        for x in reversed(scales):  # scales is [res3, res4, res5]
+            mems.append(x.reshape(b, -1, self.d_model))
+            mposs.append(pos_enc(x).reshape(b, -1, self.d_model))
+            mshapes.append(x.shape[1:3])
+
+        for i in range(self.dec_layers):
+            s = i % 3
+            h, w = mshapes[s]
+            # attention mask from current mask predictions (masked attention)
+            am = jax.image.resize(cur_masks, (b, q, h, w), "bilinear")
+            am = (jax.nn.sigmoid(am) > self.mask_threshold_for_attn).reshape(b, 1, q, h * w)
+            # if a query's mask is empty, attend everywhere (reference guard)
+            empty = ~am.any(axis=-1, keepdims=True)
+            am = am | empty
+            queries = DecoderLayerM2F(self.d_model, name=f"dec{i}")(
+                queries, q_pos, mems[s], mposs[s], am
+            )
+            cls_i, masks_i = predict_heads(queries)
+            all_cls.append(cls_i)
+            all_masks.append(masks_i)
+            cur_masks = masks_i
+
+        return dict(
+            cls_logits=jnp.stack(all_cls),    # [D+1, B, Q, C+1]
+            mask_logits=jnp.stack(all_masks),  # [D+1, B, Q, H/4, W/4]
+        )
+
+
+# ---------------------------------------------------------------------------
+# Criterion (reference `criterion.py` + `matcher.py`)
+# ---------------------------------------------------------------------------
+
+def _sample_points(masks, points_xy):
+    """masks [..., H, W], points [K, 2] normalized (x, y) → [..., K]
+    (bilinear, align_corners=False as the reference `point_sample`)."""
+    h, w = masks.shape[-2:]
+    gx = points_xy[:, 0] * w - 0.5
+    gy = points_xy[:, 1] * h - 0.5
+    x0, y0 = jnp.floor(gx), jnp.floor(gy)
+    out = 0.0
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi, yi = x0 + dx, y0 + dy
+        wgt = (1 - jnp.abs(gx - xi)) * (1 - jnp.abs(gy - yi))
+        xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        out = out + masks[..., yi, xi] * wgt
+    return out
+
+
+def _bce_logits(logits, targets):
+    return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+
+
+def _dice_loss(inputs, targets, eps=1.0):
+    """inputs: sigmoided [..., K], targets [..., K]."""
+    num = 2 * (inputs * targets).sum(-1)
+    den = inputs.sum(-1) + targets.sum(-1)
+    return 1 - (num + eps) / (den + eps)
+
+
+def compute_loss(
+    preds: Dict[str, Any],
+    batch: Dict[str, Any],
+    *,
+    model_cfg: Dict[str, Any],
+    rng: jax.Array | None = None,
+) -> Dict[str, jax.Array]:
+    """batch: gt_masks [B, G, H/4, W/4] float (already at mask scale),
+    gt_classes_seg [B, G] 0-based, gt_mask_valid [B, G]."""
+    num_classes = model_cfg["num_classes"]
+    num_points = model_cfg.get("num_points", 4096)
+    w_ce = model_cfg.get("class_weight", 2.0)
+    w_bce = model_cfg.get("mask_weight", 5.0)
+    w_dice = model_cfg.get("dice_weight", 5.0)
+    no_obj = model_cfg.get("no_object_weight", 0.1)
+
+    gt_masks = batch["gt_masks"]
+    gt_cls = batch["gt_classes_seg"]
+    gt_ok = batch["gt_mask_valid"]
+    num_boxes = jnp.maximum(gt_ok.sum().astype(jnp.float32), 1.0)
+
+    rng = rng if rng is not None else jax.random.key(0)
+    pts = jax.random.uniform(rng, (num_points, 2))
+
+    gt_pts = jax.vmap(lambda m: _sample_points(m, pts))(gt_masks)  # [B, G, K]
+
+    losses: Dict[str, jax.Array] = {}
+    d = preds["cls_logits"].shape[0]
+    for li in range(d):
+        cls_logits = preds["cls_logits"][li]     # [B, Q, C+1]
+        mask_logits = preds["mask_logits"][li]   # [B, Q, h, w]
+        pred_pts = jax.vmap(lambda m: _sample_points(m, pts))(mask_logits)  # [B, Q, K]
+
+        # matcher cost
+        prob = jax.nn.softmax(cls_logits, -1)
+
+        def cost_one(pb, pp, tc, tp, tm):
+            cost_cls = -pb[:, tc]  # [Q, G]
+            bce_pos = _bce_logits(pp, jnp.ones_like(pp))  # [Q, K]
+            bce_neg = _bce_logits(pp, jnp.zeros_like(pp))
+            cost_bce = (bce_pos @ tp.T + bce_neg @ (1 - tp).T) / num_points
+            sig = jax.nn.sigmoid(pp)
+            num = 2 * (sig @ tp.T)
+            den = sig.sum(-1, keepdims=True) + tp.sum(-1)[None, :]
+            cost_dice = 1 - (num + 1) / (den + 1)
+            c = w_ce * cost_cls + w_bce * cost_bce + w_dice * cost_dice
+            return jnp.where(tm[None, :], c, 1e8)
+
+        cost = jax.vmap(cost_one)(prob, pred_pts, gt_cls, gt_pts, gt_ok)
+        assign = hungarian_match(cost, gt_ok)  # [B, G]
+        ok = assign >= 0
+        a = jnp.where(ok, assign, 0)
+
+        # classification: matched queries get the GT class; rest no-object
+        b, qn, _ = cls_logits.shape
+        tgt_cls = jnp.full((b, qn), num_classes, jnp.int32)
+        tgt_cls = tgt_cls.at[jnp.arange(b)[:, None], a].set(
+            jnp.where(ok, gt_cls, num_classes)
+        )
+        weights = jnp.where(tgt_cls == num_classes, no_obj, 1.0)
+        logp = jax.nn.log_softmax(cls_logits, -1)
+        ce = -jnp.take_along_axis(logp, tgt_cls[..., None], -1)[..., 0]
+        loss_ce = (ce * weights).sum() / weights.sum()
+
+        mp = jnp.take_along_axis(pred_pts, a[..., None], axis=1)  # [B, G, K]
+        okf = ok[..., None].astype(mp.dtype)
+        loss_bce = (_bce_logits(mp, gt_pts) * okf).sum() / (num_points * num_boxes)
+        loss_dice = (
+            _dice_loss(jax.nn.sigmoid(mp), gt_pts) * ok.astype(mp.dtype)
+        ).sum() / num_boxes
+
+        sfx = "" if li == d - 1 else f"_{li}"
+        losses[f"loss_ce{sfx}"] = w_ce * loss_ce
+        losses[f"loss_mask{sfx}"] = w_bce * loss_bce
+        losses[f"loss_dice{sfx}"] = w_dice * loss_dice
+
+    losses["loss"] = sum(losses.values())
+    return losses
+
+
+def predict_instance(preds, *, model_cfg, top_k: int = 100):
+    """Instance inference (reference `instance_inference`)."""
+    num_classes = model_cfg["num_classes"]
+    cls_logits = preds["cls_logits"][-1]
+    mask_logits = preds["mask_logits"][-1]
+    scores_all = jax.nn.softmax(cls_logits, -1)[..., :num_classes]  # [B, Q, C]
+    b, qn, c = scores_all.shape
+    flat = scores_all.reshape(b, qn * c)
+    scores, idx = jax.lax.top_k(flat, min(top_k, qn * c))
+    qidx = idx // c
+    labels = idx % c
+    masks = jnp.take_along_axis(
+        mask_logits, qidx[:, :, None, None], axis=1
+    )
+    mask_bin = masks > 0
+    # mask-quality rescoring (reference): score × mean mask prob inside mask
+    mprob = jax.nn.sigmoid(masks)
+    quality = (mprob * mask_bin).sum((-2, -1)) / jnp.maximum(mask_bin.sum((-2, -1)), 1)
+    return dict(scores=scores * quality, labels=labels, masks=mask_bin,
+                valid=jnp.ones_like(labels, bool))
+
+
+def predict_semantic(preds, *, model_cfg):
+    """Semantic inference: softmax(cls) ⊗ sigmoid(mask) (reference
+    `semantic_inference`)."""
+    num_classes = model_cfg["num_classes"]
+    cls_prob = jax.nn.softmax(preds["cls_logits"][-1], -1)[..., :num_classes]
+    mask_prob = jax.nn.sigmoid(preds["mask_logits"][-1])
+    return jnp.einsum("bqc,bqhw->bchw", cls_prob, mask_prob)

@@ -1,0 +1,221 @@
+"""TrajectoryFormer: 3D multi-object tracking by trajectory hypotheses.
+
+TPU rebuild of the reference experiment (`playground/tracking.3d/waymo/
+trajectoryformer/trajectoryformer.centerpoint/`: `trajectoryformer.py`,
+`pointnet.py`, `transformer.py`, `modules/tracker.py`): per frame, each
+track spawns hypotheses (current detections + motion-predicted boxes),
+each hypothesis is encoded from (a) points cropped around its box via a
+PointNet and (b) its trajectory history via a motion encoder, a
+global-local transformer mixes hypothesis features, and per-hypothesis
+heads score confidence and refine the box. A greedy host-side tracker
+(`efg_tpu.tracking.tracker`) consumes scores for association.
+
+Fixed-shape design: N_max hypotheses per frame, P points per hypothesis
+(gathered with mask), T history steps — all static; invalid slots masked.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from efg_tpu.geometry.box_ops_jnp import points_in_rbbox
+from efg_tpu.ops.iou_rotated import iou_bev
+
+
+class PointNet(nn.Module):
+    """Per-hypothesis point encoder (reference `pointnet.py:7-54`):
+    pointwise MLP → max-pool → MLP."""
+
+    channels: int = 128
+
+    @nn.compact
+    def __call__(self, pts, mask):
+        """pts [N, P, C], mask [N, P] → [N, channels]."""
+        x = pts
+        for i, c in enumerate((64, 128, self.channels)):
+            x = nn.Dense(c, name=f"mlp{i}")(x)
+            x = nn.LayerNorm(name=f"ln{i}")(x)
+            x = jax.nn.relu(x)
+        x = jnp.where(mask[..., None], x, -1e9)
+        pooled = x.max(axis=-2)
+        pooled = jnp.where(mask.any(-1, keepdims=True), pooled, 0.0)
+        return nn.Dense(self.channels, name="out")(pooled)
+
+
+class MotionEncoder(nn.Module):
+    """Trajectory (history boxes) encoder (reference `pointnet.py:56-137`):
+    per-step MLP → max over valid steps → MLP, PointNet-polyline style."""
+
+    channels: int = 128
+
+    @nn.compact
+    def __call__(self, traj, mask):
+        """traj [N, T, D] box history (relative), mask [N, T] → [N, C]."""
+        x = traj
+        for i, c in enumerate((64, 128)):
+            x = jax.nn.relu(nn.LayerNorm(name=f"ln{i}")(nn.Dense(c, name=f"mlp{i}")(x)))
+        x = jnp.where(mask[..., None], x, -1e9)
+        pooled = jnp.where(mask.any(-1, keepdims=True), x.max(-2), 0.0)
+        return nn.Dense(self.channels, name="out")(pooled)
+
+
+class GlobalLocalLayer(nn.Module):
+    """One global (all hypotheses) + one local (per-track group) attention
+    block (reference `TransformerEncoderLayerGlobalLocal`)."""
+
+    d_model: int = 256
+    nhead: int = 4
+    dim_feedforward: int = 512
+
+    @nn.compact
+    def __call__(self, x, group_mask):
+        """x [N, C]; group_mask [N, N] True = same track group."""
+        xb = x[None]
+        g = nn.MultiHeadDotProductAttention(num_heads=self.nhead, name="global_attn")(
+            xb, inputs_k=xb, inputs_v=xb
+        )[0]
+        x = nn.LayerNorm(name="norm1")(x + g)
+        xb = x[None]
+        l = nn.MultiHeadDotProductAttention(num_heads=self.nhead, name="local_attn")(
+            xb, inputs_k=xb, inputs_v=xb, mask=group_mask[None, None]
+        )[0]
+        x = nn.LayerNorm(name="norm2")(x + l)
+        ff = nn.Dense(self.d_model, name="linear2")(
+            jax.nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(x))
+        )
+        return nn.LayerNorm(name="norm3")(x + ff)
+
+
+class TrajectoryFormer(nn.Module):
+    """Hypothesis scorer/refiner. Consumes pre-cropped fixed-shape inputs."""
+
+    d_model: int = 256
+    num_layers: int = 3
+    num_points: int = 128
+    history: int = 10
+
+    @nn.compact
+    def __call__(
+        self,
+        hyp_points,   # [N, P, 4] xyz (box-frame-relative) + intensity
+        hyp_pts_mask,  # [N, P]
+        hyp_traj,     # [N, T, 8] history boxes relative to current (xyz, lwh, sin/cos)
+        hyp_traj_mask,  # [N, T]
+        hyp_boxes,    # [N, 7] current hypothesis boxes (absolute)
+        group_ids,    # [N] track id per hypothesis (same id = local group)
+        valid,        # [N]
+        train: bool = True,
+    ) -> Dict[str, jax.Array]:
+        pt_feat = PointNet(128, name="point_encoder")(hyp_points, hyp_pts_mask)
+        mo_feat = MotionEncoder(128, name="motion_encoder")(hyp_traj, hyp_traj_mask)
+        box_feat = nn.Dense(64, name="box_embed")(hyp_boxes)
+        x = nn.Dense(self.d_model, name="fuse")(
+            jnp.concatenate([pt_feat, mo_feat, box_feat], axis=-1)
+        )
+        x = jax.nn.relu(x)
+
+        group_mask = (group_ids[:, None] == group_ids[None, :]) & valid[:, None] & valid[None, :]
+        for i in range(self.num_layers):
+            x = GlobalLocalLayer(self.d_model, name=f"layer{i}")(x, group_mask)
+
+        score = nn.Dense(1, name="cls_head")(x)[..., 0]
+        refine = nn.Dense(7, name="reg_head",
+                          kernel_init=nn.initializers.zeros)(x)
+        return dict(scores=score, refine=refine, features=x)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis feature extraction (device, fixed shapes)
+# ---------------------------------------------------------------------------
+
+def crop_hypothesis_points(
+    points: jax.Array,      # [Np, 4+]
+    points_mask: jax.Array,  # [Np]
+    boxes: jax.Array,       # [N, 7]
+    *,
+    num_points: int,
+    margin: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """For each hypothesis box, take up to `num_points` points inside the
+    (enlarged) box, expressed in the box frame (the reference's
+    proposal-aware point feature, `trajectoryformer.py:526-571`)."""
+    inside = points_in_rbbox(points[:, :3], boxes, margin=margin) & points_mask[:, None]
+    # rank points per box: take first num_points by index
+    order = jnp.cumsum(inside.astype(jnp.int32), axis=0) - 1  # rank of each point
+    take = inside & (order < num_points)
+    n = boxes.shape[0]
+
+    def one_box(box, tk):
+        idx = jnp.where(tk, jnp.arange(points.shape[0]), points.shape[0])
+        idx = jnp.sort(idx)[:num_points]
+        ok = idx < points.shape[0]
+        p = points[jnp.minimum(idx, points.shape[0] - 1)]
+        local = p[:, :3] - box[:3]
+        c, s = jnp.cos(box[6]), jnp.sin(box[6])
+        lx = local[:, 0] * c + local[:, 1] * s
+        ly = -local[:, 0] * s + local[:, 1] * c
+        feats = jnp.concatenate(
+            [lx[:, None], ly[:, None], local[:, 2:3], p[:, 3:4]], axis=-1
+        )
+        return feats * ok[:, None], ok
+
+    return jax.vmap(one_box)(boxes, take.T)
+
+
+# ---------------------------------------------------------------------------
+# Training losses (reference `get_cls_targets`/`get_reg_targets`/`get_loss`)
+# ---------------------------------------------------------------------------
+
+def compute_loss(
+    outputs: Dict[str, jax.Array],
+    hyp_boxes: jax.Array,   # [N, 7]
+    gt_boxes: jax.Array,    # [G, 7]
+    gt_mask: jax.Array,     # [G]
+    valid: jax.Array,       # [N]
+    *,
+    iou_lo: float = 0.3,
+    iou_hi: float = 0.7,
+) -> Dict[str, jax.Array]:
+    """Confidence target = clipped/scaled best IoU against GT (reference
+    `get_iou_labels`, `trajectoryformer.py:847-858`); regression on
+    hypotheses with IoU > hi toward their matched GT residual."""
+    iou = iou_bev(hyp_boxes, gt_boxes)  # [N, G]
+    iou = jnp.where(gt_mask[None, :], iou, -1.0)
+    best = iou.max(axis=1)
+    match = iou.argmax(axis=1)
+    cls_tgt = jnp.clip((best - iou_lo) / (iou_hi - iou_lo), 0.0, 1.0)
+
+    logits = outputs["scores"]
+    bce = jnp.maximum(logits, 0) - logits * cls_tgt + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    vf = valid.astype(jnp.float32)
+    loss_cls = (bce * vf).sum() / jnp.maximum(vf.sum(), 1.0)
+
+    matched_gt = gt_boxes[match]
+    residual = jnp.concatenate(
+        [
+            (matched_gt[:, :3] - hyp_boxes[:, :3]) / jnp.maximum(hyp_boxes[:, 3:6], 0.1),
+            jnp.log(jnp.maximum(matched_gt[:, 3:6], 1e-3) / jnp.maximum(hyp_boxes[:, 3:6], 1e-3)),
+            (matched_gt[:, 6:7] - hyp_boxes[:, 6:7]),
+        ],
+        axis=-1,
+    )
+    pos = (best > iou_hi) & valid
+    pf = pos.astype(jnp.float32)[:, None]
+    loss_reg = (jnp.abs(outputs["refine"] - residual) * pf).sum() / jnp.maximum(pf.sum(), 1.0)
+
+    return dict(
+        loss_cls=loss_cls, loss_reg=loss_reg, loss=loss_cls + loss_reg,
+        num_pos=pos.sum().astype(jnp.float32),
+    )
+
+
+def apply_refinement(hyp_boxes: jax.Array, refine: jax.Array) -> jax.Array:
+    """Inverse of the residual encoding (reference `generate_refined_boxes`)."""
+    xyz = hyp_boxes[:, :3] + refine[:, :3] * jnp.maximum(hyp_boxes[:, 3:6], 0.1)
+    lwh = hyp_boxes[:, 3:6] * jnp.exp(refine[:, 3:6])
+    yaw = hyp_boxes[:, 6:7] + refine[:, 6:7]
+    return jnp.concatenate([xyz, lwh, yaw], axis=-1)
