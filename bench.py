@@ -25,7 +25,15 @@ A100_REF_FPS = 20.0
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compile cache: the full-scale step takes minutes to build
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import __graft_entry__ as ge
 

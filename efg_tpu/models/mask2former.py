@@ -380,6 +380,44 @@ def predict_instance(preds, *, model_cfg, top_k: int = 100):
                 valid=jnp.ones_like(labels, bool))
 
 
+def predict_panoptic(
+    preds, *, model_cfg, object_mask_threshold: float = 0.8,
+    overlap_threshold: float = 0.8,
+):
+    """Panoptic inference (reference `panoptic_inference`,
+    `mask2former.py:258-318`): device computes the per-pixel winning query;
+    returns (pan_seg [B, h, w] with ids = query index + 1 or 0 for void,
+    keep_scores [B, Q], keep_labels [B, Q]) — the host assembles segment
+    dicts (thing/stuff merge, area/overlap filtering) from these."""
+    num_classes = model_cfg["num_classes"]
+    cls_logits = preds["cls_logits"][-1]
+    mask_logits = preds["mask_logits"][-1]
+    probs = jax.nn.softmax(cls_logits, -1)
+    scores = probs[..., :num_classes].max(-1)
+    labels = probs[..., :num_classes].argmax(-1)
+    keep = (labels != num_classes) & (scores > object_mask_threshold)
+
+    mask_probs = jax.nn.sigmoid(mask_logits)  # [B, Q, h, w]
+    weighted = mask_probs * jnp.where(keep, scores, 0.0)[:, :, None, None]
+    winner = weighted.argmax(axis=1)  # [B, h, w]
+    winner_prob = weighted.max(axis=1)
+    # void where no confident mask or winning mask prob < 0.5
+    win_mask_prob = jnp.take_along_axis(
+        mask_probs, winner[:, None, :, :], axis=1
+    )[:, 0]
+    valid_px = (winner_prob > 0) & (win_mask_prob >= 0.5)
+    pan_seg = jnp.where(valid_px, winner + 1, 0)
+
+    # overlap filtering stat: fraction of each query's mask surviving
+    orig_area = (mask_probs >= 0.5).sum((-2, -1))
+    final_area = jax.vmap(
+        lambda ps, q: (ps == q[:, None, None] + 1).sum((-2, -1))
+    )(pan_seg, jnp.broadcast_to(jnp.arange(mask_probs.shape[1])[None], keep.shape))
+    survive = final_area / jnp.maximum(orig_area, 1)
+    keep = keep & (survive > overlap_threshold) & (final_area > 0)
+    return dict(pan_seg=pan_seg, scores=scores, labels=labels, keep=keep)
+
+
 def predict_semantic(preds, *, model_cfg):
     """Semantic inference: softmax(cls) ⊗ sigmoid(mask) (reference
     `semantic_inference`)."""
