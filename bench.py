@@ -13,6 +13,7 @@ vs_baseline = measured_fps / A100_REF_FPS (so the target is ≥2.0).
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 
@@ -73,20 +74,29 @@ def main():
             loss,
         )
 
-    step = jax.jit(step_fn, donate_argnums=(0,))
-
-    # compile + warmup
-    state, loss = step(state, batch)
-    jax.block_until_ready(loss)
-    for _ in range(2):
-        state, loss = step(state, batch)
-    jax.block_until_ready(loss)
-
+    # NOTE: on the tunneled single-chip setup, `block_until_ready` does not
+    # actually synchronize (measured: it reports impossible TFLOP/s), and
+    # each dispatch pays a large network roundtrip. So: run N steps inside
+    # ONE jitted lax.scan and force a scalar value fetch — one roundtrip,
+    # honest amortized per-step time.
     n_iters = 10
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_n(state, batch):
+        def body(s, _):
+            s, loss = step_fn(s, batch)
+            return s, loss
+
+        state, losses = jax.lax.scan(body, state, None, length=n_iters)
+        return state, losses[-1]
+
+    # compile + warmup (one scanned segment)
+    state, loss = run_n(state, batch)
+    _ = float(loss)
+
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, loss = step(state, batch)
-    jax.block_until_ready(loss)
+    state, loss = run_n(state, batch)
+    _ = float(loss)  # device->host fetch = real sync
     dt = time.perf_counter() - t0
 
     fps = bsz * n_iters / dt

@@ -51,6 +51,32 @@ class DistributedInfiniteSampler(InfiniteSampler):
 
 
 @SAMPLERS.register()
+class SeqInferenceSampler:
+    """Sequence-contiguous shards: each host gets whole sequences so a
+    tracker sees frames in order (reference `playground/tracking.3d/.../
+    sample.py:7-55`). The dataset must expose `sequence_of(idx)`."""
+
+    def __init__(self, size: int, sequence_ids=None):
+        rank, world = _proc_info()
+        if sequence_ids is None:
+            sequence_ids = [0] * size
+        seqs = {}
+        for i, s in enumerate(sequence_ids):
+            seqs.setdefault(s, []).append(i)
+        ordered = [idx for s in sorted(seqs) for idx in seqs[s]]
+        seq_keys = sorted(seqs)
+        my_seqs = set(seq_keys[rank::world])
+        self._local = [i for s in sorted(my_seqs) for i in seqs[s]]
+        del ordered
+
+    def __len__(self):
+        return len(self._local)
+
+    def __iter__(self):
+        return iter(self._local)
+
+
+@SAMPLERS.register()
 class InferenceSampler:
     """One pass, contiguous per-host shards (reference `:78-106`)."""
 
