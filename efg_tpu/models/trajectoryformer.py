@@ -219,3 +219,65 @@ def apply_refinement(hyp_boxes: jax.Array, refine: jax.Array) -> jax.Array:
     lwh = hyp_boxes[:, 3:6] * jnp.exp(refine[:, 3:6])
     yaw = hyp_boxes[:, 6:7] + refine[:, 6:7]
     return jnp.concatenate([xyz, lwh, yaw], axis=-1)
+
+
+class TrajectoryFormerDet(nn.Module):
+    """Batched detection-hypothesis wrapper: crops point features around
+    the per-frame detection boxes and scores/refines them — the training
+    form of the model (hypothesis augmentation happens upstream in the
+    reference, `trajectoryformer.py:456-525`)."""
+
+    d_model: int = 256
+    num_layers: int = 3
+    num_points: int = 128
+    history: int = 10
+
+    @nn.compact
+    def __call__(self, points, points_mask, det_boxes, det_mask, train: bool):
+        """points [B, Np, C], det_boxes [B, N, 7+] → per-batch outputs."""
+        core = TrajectoryFormer(
+            self.d_model, self.num_layers, self.num_points, self.history,
+            name="core",
+        )
+        b, n = det_boxes.shape[:2]
+        boxes7 = jnp.concatenate([det_boxes[..., :6], det_boxes[..., -1:]], -1)
+
+        def one(pts, pm, bx, dm):
+            hp, hm = crop_hypothesis_points(pts, pm, bx, num_points=self.num_points)
+            traj = jnp.zeros((n, self.history, 8), pts.dtype)
+            traj_mask = jnp.zeros((n, self.history), bool)
+            return core(
+                hp, hm, traj, traj_mask, bx,
+                group_ids=jnp.arange(n), valid=dm, train=train,
+            )
+
+        return jax.vmap(one)(points, points_mask, boxes7, det_mask)
+
+
+def det_compute_loss(outputs, batch):
+    """Batched IoU-target loss for the detection-hypothesis wrapper."""
+    det7 = jnp.concatenate([batch["det_boxes"][..., :6], batch["det_boxes"][..., -1:]], -1)
+    gt7 = jnp.concatenate([batch["gt_boxes"][..., :6], batch["gt_boxes"][..., -1:]], -1)
+
+    losses = jax.vmap(
+        lambda o, hb, gb, gm, v: compute_loss(o, hb, gb, gm, v)
+    )(outputs, det7, gt7, batch["gt_mask"], batch["det_mask"])
+    out = {k: v.mean() for k, v in losses.items()}
+    return out
+
+
+def det_predict(outputs, batch):
+    """Refined + rescored detections for the tracking evaluator."""
+    det = batch["det_boxes"]
+    det7 = jnp.concatenate([det[..., :6], det[..., -1:]], -1)
+    refined = jax.vmap(apply_refinement)(det7, outputs["refine"])
+    scores = jax.nn.sigmoid(outputs["scores"])
+    boxes9 = jnp.concatenate(
+        [refined[..., :6], det[..., 6:8], refined[..., 6:7]], -1
+    )
+    return dict(
+        box3d=boxes9,
+        scores=scores * batch["det_mask"],
+        labels=jnp.where(batch["det_mask"], batch["gt_classes"], 0),
+        valid=batch["det_mask"],
+    )

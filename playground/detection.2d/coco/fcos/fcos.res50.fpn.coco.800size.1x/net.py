@@ -1,0 +1,32 @@
+"""FCOS synthetic experiment builder."""
+
+from efg_tpu.engine.train_state import ModelDef
+from efg_tpu.models import fcos as F
+
+
+def build_model(config):
+    mc = config.model.fcos
+    cfg = dict(
+        num_classes=int(mc.num_classes),
+        fpn_strides=list(mc.fpn_strides),
+        center_sampling_radius=float(mc.get("center_sampling_radius", 1.5)),
+    )
+    module = F.FCOS(
+        num_classes=cfg["num_classes"], depth=int(mc.depth),
+        fpn_strides=tuple(cfg["fpn_strides"]), freeze_at=int(mc.get("freeze_at", 2)),
+    )
+
+    def apply_args(batch):
+        return dict(images=batch["images"])
+
+    def loss_fn(preds, batch):
+        return F.compute_loss(preds, batch, model_cfg=cfg)
+
+    def predict_fn(preds, batch):
+        return F.predict(
+            preds, model_cfg=cfg,
+            score_threshold=float(mc.get("score_threshold", 0.05)),
+            nms_threshold=float(mc.get("nms_threshold", 0.6)),
+        )
+
+    return ModelDef(module, apply_args, loss_fn, predict_fn)

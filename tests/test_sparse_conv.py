@@ -65,7 +65,7 @@ def test_subm_conv_matches_dense_oracle():
     # submanifold: compare at input sites only
     for i in np.flatnonzero(valid):
         b, z, y, x = coords[i]
-        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=2e-2, atol=5e-3)
     assert np.abs(got[~valid]).max() == 0
 
 
@@ -81,7 +81,7 @@ def test_subm_rulebook_reuse_and_center_only():
     w = jnp.asarray(np.random.RandomState(2).randn(1, 4, 4).astype(np.float32))
     out = S.subm_conv(st, w)
     exp = np.asarray(st.features) @ np.asarray(w[0])
-    np.testing.assert_allclose(np.asarray(out.features)[valid], exp[valid], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.features)[valid], exp[valid], rtol=5e-2, atol=2e-2)
 
 
 def test_batch_isolation():
@@ -90,7 +90,7 @@ def test_batch_isolation():
     wk = np.zeros((3, 3, 3, 4, 4), np.float32)
     wk[1, 1, 1] = np.eye(4)  # identity at center
     out = S.subm_conv(st, jnp.asarray(wk.reshape(27, 4, 4)))
-    np.testing.assert_allclose(np.asarray(out.features), np.asarray(st.features), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.features), np.asarray(st.features), atol=1e-2)
 
 
 def test_spconv_downsample_matches_dense_oracle():
@@ -110,7 +110,7 @@ def test_spconv_downsample_matches_dense_oracle():
     valid = np.asarray(out_st.valid)
     for i in np.flatnonzero(valid):
         b, z, y, x = coords[i]
-        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=2e-2, atol=5e-3)
 
     # every generated site has at least one touching input; sites NOT generated
     # have an all-zero dense conv contribution from occupied voxels only when
@@ -145,7 +145,7 @@ def test_asymmetric_kernel_stride():
     got = np.asarray(out_st.features)
     for i in np.flatnonzero(valid):
         b, z, y, x = coords[i]
-        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=2e-2, atol=5e-3)
 
 
 def test_to_dense_and_bev():
@@ -167,3 +167,48 @@ def test_gradients_flow():
     g = jax.grad(loss_fn)(w)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_f32_mode_matches_oracle_exactly():
+    from efg_tpu.ops import sparse as SS
+
+    SS.set_compute_dtype(jnp.float32)
+    try:
+        st, dense = _make_sparse(seed=21)
+        wk = np.random.RandomState(8).randn(3, 3, 3, 4, 6).astype(np.float32) * 0.1
+        out_st = S.subm_conv(st, jnp.asarray(wk.reshape(27, 4, 6)))
+        dense_out = _dense_conv(dense, wk)
+        coords = np.asarray(out_st.coords)
+        valid = np.asarray(out_st.valid)
+        got = np.asarray(out_st.features)
+        for i in np.flatnonzero(valid):
+            b, z, y, x = coords[i]
+            np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+    finally:
+        SS.set_compute_dtype(jnp.bfloat16)
+
+
+def test_custom_vjp_grads_match_autodiff():
+    from efg_tpu.ops import sparse as SS
+
+    SS.set_compute_dtype(jnp.float32)
+    try:
+        st, _ = _make_sparse(seed=23)
+        rb = S.build_subm_rulebook(st, 3)
+        w = jnp.asarray(np.random.RandomState(9).randn(27, 4, 4).astype(np.float32) * 0.1)
+        g_out = jnp.asarray(np.random.RandomState(10).randn(st.capacity, 4).astype(np.float32))
+
+        def loss_custom(f, w):
+            out = S.gather_gemm(f, rb, w, st.valid, rulebook_inv=rb[::-1])
+            return (out * g_out).sum()
+
+        def loss_auto(f, w):
+            out = S.gather_gemm(f, rb, w, st.valid)
+            return (out * g_out).sum()
+
+        gc = jax.grad(loss_custom, argnums=(0, 1))(st.features, w)
+        ga = jax.grad(loss_auto, argnums=(0, 1))(st.features, w)
+        np.testing.assert_allclose(np.asarray(gc[0]), np.asarray(ga[0]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]), rtol=1e-4, atol=1e-5)
+    finally:
+        SS.set_compute_dtype(jnp.bfloat16)
