@@ -115,7 +115,7 @@ class SpMiddleResNetFHD(nn.Module):
         → BEV [B, ny/8, nx/8, 128*2]."""
         st = sp.from_batched_voxels(features, coords_zyx, valid, self.spatial_shape)
 
-        rb = sp.build_subm_rulebook(st, 3)
+        rb = sp.build_subm_rulebook9(st, 3)
         st = SubMConv(16, name="conv_input")(st, rb)
         st = _BNReLU(name="bn_input")(st, train)
         st = SparseBasicBlock(16, name="res0a")(st, rb, train)
@@ -123,13 +123,13 @@ class SpMiddleResNetFHD(nn.Module):
 
         st = SparseConvDown(32, max_out=self.stage_caps[0], name="down1")(st)
         st = _BNReLU(name="bn_down1")(st, train)
-        rb = sp.build_subm_rulebook(st, 3)
+        rb = sp.build_subm_rulebook9(st, 3)
         st = SparseBasicBlock(32, name="res1a")(st, rb, train)
         st = SparseBasicBlock(32, name="res1b")(st, rb, train)
 
         st = SparseConvDown(64, max_out=self.stage_caps[1], name="down2")(st)
         st = _BNReLU(name="bn_down2")(st, train)
-        rb = sp.build_subm_rulebook(st, 3)
+        rb = sp.build_subm_rulebook9(st, 3)
         st = SparseBasicBlock(64, name="res2a")(st, rb, train)
         st = SparseBasicBlock(64, name="res2b")(st, rb, train)
 
@@ -137,7 +137,7 @@ class SpMiddleResNetFHD(nn.Module):
             128, padding=(0, 1, 1), max_out=self.stage_caps[2], name="down3"
         )(st)
         st = _BNReLU(name="bn_down3")(st, train)
-        rb = sp.build_subm_rulebook(st, 3)
+        rb = sp.build_subm_rulebook9(st, 3)
         st = SparseBasicBlock(128, name="res3a")(st, rb, train)
         st = SparseBasicBlock(128, name="res3b")(st, rb, train)
 

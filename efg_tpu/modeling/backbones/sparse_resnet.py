@@ -42,7 +42,7 @@ class _ResStage(nn.Module):
         identity = SparseConvDown(self.out_channels, max_out=self.max_out, name="down")(st)
         out = _BNReLU(relu=False, name="down_bn")(identity, train)
         # first block's residual shortcut is the strided projection itself
-        rb = sp.build_subm_rulebook(out, 3)
+        rb = sp.build_subm_rulebook9(out, 3)
         x = SubMConv(self.out_channels, name="b0_conv2")(out, rb)
         x = _BNReLU(relu=False, name="b0_bn2")(x, train)
         x = x.replace_features(
@@ -74,7 +74,7 @@ class SparseResNet(nn.Module):
         # stem: strided conv + 2 SubM convs (reference `SparseBasicStem`)
         st = SparseConvDown(stem_w, max_out=self.stage_caps[0], name="stem_down")(st)
         st = _BNReLU(name="stem_bn0")(st, train)
-        rb = sp.build_subm_rulebook(st, 3)
+        rb = sp.build_subm_rulebook9(st, 3)
         st = SubMConv(stem_w, name="stem_conv1")(st, rb)
         st = _BNReLU(name="stem_bn1")(st, train)
         st = SubMConv(self.stem_out_channels, name="stem_conv2")(st, rb)

@@ -267,6 +267,188 @@ def gather_gemm(
     return f(features, weights)
 
 
+def build_subm_rulebook9(st: SparseTensor, kernel_size=3):
+    """Compact SubM rulebook: per (δz, δy) pair, the insertion position
+    `pos` of the δx = 0 query plus found-masks for δx ∈ {−1, 0, +1}.
+
+    Rationale: XLA row-gather cost on TPU is ~per-row, independent of row
+    width (measured), and the three x-neighbors sit at pos−1 / pos /
+    pos+1 in the sorted row order — so one 3C-wide gather at `pos` serves
+    three kernel taps. 9 gathers instead of 27 for a 3×3×3 kernel.
+
+    Returns (pos [P, V], found [P, 3, V]) with P = kd·kh, found order
+    (δx=−1, 0, +1). For kw == 1 use the plain 27-rulebook path.
+    """
+    ks = _as3(kernel_size)
+    kd, kh, kw = ks
+    assert kw == 3, "rule9 requires a 3-wide x kernel"
+    d, h, w = st.spatial_shape
+    cap = st.capacity
+    x = st.coords[:, 3]
+
+    poss, founds = [], []
+    for dz in range(-(kd - 1) // 2, (kd - 1) // 2 + 1):
+        for dy in range(-(kh - 1) // 2, (kh - 1) // 2 + 1):
+            nz = st.coords[:, 1] + dz
+            ny = st.coords[:, 2] + dy
+            ok0 = st.valid & (nz >= 0) & (nz < d) & (ny >= 0) & (ny < h)
+            q0 = ((st.coords[:, 0] * d + nz) * h + ny) * w + x
+            q0 = jnp.where(ok0, q0, _SENTINEL)
+            pos = jnp.searchsorted(st.keys, q0, side="left").astype(jnp.int32)
+            pos_c = jnp.minimum(pos, cap - 1)
+            f0 = (st.keys[pos_c] == q0) & (q0 != _SENTINEL)
+            pm = jnp.clip(pos - 1, 0, cap - 1)
+            fm = (st.keys[pm] == q0 - 1) & ok0 & (x - 1 >= 0) & (pos > 0) & (q0 != _SENTINEL)
+            pp = jnp.minimum(pos + f0.astype(jnp.int32), cap - 1)
+            fp = (st.keys[pp] == q0 + 1) & ok0 & (x + 1 < w) & (q0 != _SENTINEL)
+            poss.append(pos_c)
+            founds.append(jnp.stack([fm, f0, fp]))
+    return jnp.stack(poss), jnp.stack(founds)  # [P, V], [P, 3, V]
+
+
+def _gather_gemm9_impl(features, pos, found, weights, out_valid):
+    """features [V, C], pos [P, V], found [P, 3, V], weights [P·3, C, O]
+    in (pair, δx) order → [V, O]. One 3C gather + GEMM per pair."""
+    v, c = features.shape
+    p3, _, cout = weights.shape
+    p = p3 // 3
+    # concat[i] = (features[i-1], features[i], features[i+1]) → row gather at
+    # `pos` yields rows pos−1 / pos / pos+1 in one shot
+    fm1 = jnp.concatenate([features[:1] * 0, features[:-1]], axis=0)  # f[i-1]
+    fp1 = jnp.concatenate([features[1:], features[:1] * 0], axis=0)   # f[i+1]
+    concat = jnp.concatenate([fm1, features, fp1], axis=-1)  # [V, 3C]
+    w9 = weights.reshape(p, 3, c, cout)
+
+    def step(acc, args):
+        pos_k, found_k, w_k = args  # [V], [3, V], [3, C, O]
+        g = concat[pos_k]  # [V, 3C] = rows (pos-1, pos, pos+1)
+        gm = g[:, :c]
+        g0 = g[:, c : 2 * c]
+        gp = g[:, 2 * c :]
+        # δx=+1 row: pos+1 when the center was found, else the row AT pos
+        gp_sel = jnp.where(found_k[1][:, None], gp, g0)
+        stacked = jnp.concatenate(
+            [
+                gm * found_k[0][:, None].astype(g.dtype),
+                g0 * found_k[1][:, None].astype(g.dtype),
+                gp_sel * found_k[2][:, None].astype(g.dtype),
+            ],
+            axis=-1,
+        )  # [V, 3C]
+        return acc + jnp.dot(
+            stacked.astype(COMPUTE_DTYPE),
+            w_k.reshape(3 * c, cout).astype(COMPUTE_DTYPE),
+            preferred_element_type=jnp.float32,
+        ), None
+
+    init = jnp.zeros((v, cout), jnp.float32)
+    out, _ = jax.lax.scan(step, init, (pos, found, w9))
+    out = out.astype(features.dtype)
+    return out * out_valid[:, None].astype(out.dtype)
+
+
+def gather_gemm9(features, pos, found, weights, out_valid):
+    """rule9 sparse-conv contraction with a scatter-free custom VJP.
+
+    Backward identity (input and output sites coincide):
+    d_f = conv(g; W'_k = W_{flip(k)}ᵀ) evaluated over the SAME rulebook —
+    a full reversal of the 27-raster (w[::-1]) flips (δz, δy, δx) jointly,
+    so the rule9 layout needs no index changes, only flipped weights.
+    """
+
+    @jax.custom_vjp
+    def f(feats, w):
+        return _gather_gemm9_impl(feats, pos, found, w, out_valid)
+
+    def fwd(feats, w):
+        return f(feats, w), (feats, w)
+
+    def bwd(res, g):
+        feats, w = res
+        g = g * out_valid[:, None].astype(g.dtype)
+        p3, c, cout = w.shape
+        w_flip = jnp.swapaxes(w[::-1], 1, 2)  # [P·3, O, C]
+        d_feats = _gather_gemm9_impl(
+            g, pos, found, w_flip, jnp.ones_like(out_valid),
+        ).astype(feats.dtype)
+
+        # dW via per-pair gathers of the saved inputs
+        v = feats.shape[0]
+        fm1 = jnp.concatenate([feats[:1] * 0, feats[:-1]], axis=0)
+        fp1 = jnp.concatenate([feats[1:], feats[:1] * 0], axis=0)
+        concat = jnp.concatenate([fm1, feats, fp1], axis=-1)
+
+        def step(_, args):
+            pos_k, found_k = args
+            gr = concat[pos_k]
+            gm = gr[:, :c] * found_k[0][:, None].astype(gr.dtype)
+            g0 = gr[:, c : 2 * c] * found_k[1][:, None].astype(gr.dtype)
+            gp = jnp.where(found_k[1][:, None], gr[:, 2 * c :], gr[:, c : 2 * c])
+            gp = gp * found_k[2][:, None].astype(gr.dtype)
+            stacked = jnp.concatenate([gm, g0, gp], axis=-1)  # [V, 3C]
+            dw_k = jnp.dot(
+                stacked.T.astype(COMPUTE_DTYPE), g.astype(COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )  # [3C, O]
+            return None, dw_k.reshape(3, c, cout)
+
+        _, dw = jax.lax.scan(step, None, (pos, found))
+        return d_feats, dw.reshape(p3, c, cout).astype(w.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f(features, weights)
+
+
+def gather_gemm_strided(features, rulebook, weights, out_valid, *, v_in: int):
+    """Strided-conv contraction with a scatter-free d_features.
+
+    For a generative conv the map (k, v_out) → v_in is injective per k, so
+    the inverse rulebook inv[k, v_in] = v_out is a cheap int scatter of the
+    already-built forward rulebook; d_features then becomes a gather-GEMM
+    over inv with transposed weights (no f32 scatter-add in the backward)."""
+
+    @jax.custom_vjp
+    def f(feats, w):
+        return _gather_gemm_impl(feats, rulebook, w, out_valid)
+
+    def fwd(feats, w):
+        return f(feats, w), (feats, w)
+
+    def bwd(res, g):
+        feats, w = res
+        g = g * out_valid[:, None].astype(g.dtype)
+        k, v_out = rulebook.shape
+
+        def invert(rule_k):
+            tgt = jnp.where(rule_k >= 0, rule_k, v_in)
+            return (
+                jnp.full(v_in + 1, -1, jnp.int32)
+                .at[tgt]
+                .set(jnp.arange(v_out, dtype=jnp.int32), mode="drop")[:v_in]
+            )
+
+        inv = jax.vmap(invert)(rulebook)  # [K, V_in]
+        d_feats = _gather_gemm_impl(
+            g, inv, jnp.swapaxes(w, 1, 2), jnp.ones(v_in, bool)
+        ).astype(feats.dtype)
+
+        def step(_, rule_k):
+            ok = rule_k >= 0
+            idx = jnp.where(ok, rule_k, 0)
+            gath = feats[idx] * ok[:, None].astype(feats.dtype)
+            dw_k = jnp.dot(
+                gath.T.astype(COMPUTE_DTYPE), g.astype(COMPUTE_DTYPE),
+                preferred_element_type=jnp.float32,
+            )
+            return None, dw_k
+
+        _, d_w = jax.lax.scan(step, None, rulebook)
+        return d_feats, d_w.astype(w.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f(features, weights)
+
+
 def subm_conv(
     st: SparseTensor,
     weights: jax.Array,
@@ -275,14 +457,20 @@ def subm_conv(
 ) -> SparseTensor:
     """Submanifold conv: output sites == input sites (reference SubMConv3d).
 
-    The inverse rulebook for the backward pass is the kernel-flipped
-    forward rulebook (input/output coordinate sets coincide)."""
+    `rulebook` may be the 27-format array or the compact rule9 tuple
+    (pos, found); both use scatter-free custom VJPs."""
     if rulebook is None:
-        k = round(weights.shape[0] ** (1 / 3))
-        rulebook = build_subm_rulebook(st, k)
-    out = gather_gemm(
-        st.features, rulebook, weights, st.valid, rulebook_inv=rulebook[::-1]
-    )
+        if weights.shape[0] == 27:
+            rulebook = build_subm_rulebook9(st, 3)
+        else:
+            k = round(weights.shape[0] ** (1 / 3))
+            rulebook = build_subm_rulebook(st, k)
+    if isinstance(rulebook, tuple):
+        out = gather_gemm9(st.features, rulebook[0], rulebook[1], weights, st.valid)
+    else:
+        out = gather_gemm(
+            st.features, rulebook, weights, st.valid, rulebook_inv=rulebook[::-1]
+        )
     if bias is not None:
         out = (out + bias) * st.valid[:, None].astype(out.dtype)
     return st.replace_features(out)
@@ -412,7 +600,9 @@ def spconv_downsample(
                                 run + found.astype(jnp.int32))
     rulebook = jnp.stack(rows)  # [K, max_out]
 
-    out_feats = gather_gemm(st.features, rulebook, weights, out_valid)
+    out_feats = gather_gemm_strided(
+        st.features, rulebook, weights, out_valid, v_in=st.capacity
+    )
     if bias is not None:
         out_feats = (out_feats + bias) * out_valid[:, None].astype(out_feats.dtype)
     return SparseTensor(

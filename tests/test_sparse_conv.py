@@ -212,3 +212,77 @@ def test_custom_vjp_grads_match_autodiff():
         np.testing.assert_allclose(np.asarray(gc[1]), np.asarray(ga[1]), rtol=1e-4, atol=1e-5)
     finally:
         SS.set_compute_dtype(jnp.bfloat16)
+
+
+def test_rule9_matches_dense_oracle_and_grads():
+    from efg_tpu.ops import sparse as SS
+
+    SS.set_compute_dtype(jnp.float32)
+    try:
+        st, dense = _make_sparse(seed=31)
+        wk = np.random.RandomState(11).randn(3, 3, 3, 4, 6).astype(np.float32) * 0.1
+        w = jnp.asarray(wk.reshape(27, 4, 6))
+        r9 = S.build_subm_rulebook9(st, 3)
+        out = S.gather_gemm9(st.features, r9[0], r9[1], w, st.valid)
+        dense_out = _dense_conv(dense, wk)
+        coords = np.asarray(st.coords)
+        valid = np.asarray(st.valid)
+        got = np.asarray(out)
+        for i in np.flatnonzero(valid):
+            b, z, y, x = coords[i]
+            np.testing.assert_allclose(got[i], dense_out[b, z, y, x], rtol=1e-4, atol=1e-4)
+
+        # grads match 27-format autodiff
+        rb27 = S.build_subm_rulebook(st, 3)
+        g_out = jnp.asarray(np.random.RandomState(12).randn(st.capacity, 6).astype(np.float32))
+
+        def loss9(f, w):
+            return (S.gather_gemm9(f, r9[0], r9[1], w, st.valid) * g_out).sum()
+
+        def loss27(f, w):
+            return (S.gather_gemm(f, rb27, w, st.valid) * g_out).sum()
+
+        g9 = jax.grad(loss9, argnums=(0, 1))(st.features, w)
+        g27 = jax.grad(loss27, argnums=(0, 1))(st.features, w)
+        np.testing.assert_allclose(np.asarray(g9[0]), np.asarray(g27[0]), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g9[1]), np.asarray(g27[1]), rtol=1e-4, atol=1e-5)
+    finally:
+        SS.set_compute_dtype(jnp.bfloat16)
+
+
+def test_strided_custom_vjp_matches_autodiff():
+    from efg_tpu.ops import sparse as SS
+
+    SS.set_compute_dtype(jnp.float32)
+    try:
+        st, _ = _make_sparse(seed=41, n=50)
+        w = jnp.asarray(np.random.RandomState(13).randn(27, 4, 5).astype(np.float32) * 0.1)
+
+        def run(f, w):
+            st2 = st.replace(features=f)
+            out = S.spconv_downsample(st2, w, kernel_size=3, stride=2, padding=1, max_out=256)
+            return (out.features ** 2).sum()
+
+        # reference: plain impl without custom vjp
+        def run_ref(f, w):
+            st2 = st.replace(features=f)
+            # rebuild with the plain gather path by calling the impl directly
+            out = S.spconv_downsample(st2, w, kernel_size=3, stride=2, padding=1, max_out=256)
+            return (out.features ** 2).sum()
+
+        g = jax.grad(run, argnums=(0, 1))(st.features, w)
+        # numeric check of d_features via finite differences on a few entries
+        f0 = np.asarray(st.features)
+        base = float(run(st.features, w))
+        rs = np.random.RandomState(0)
+        valid_rows = np.flatnonzero(np.asarray(st.valid))
+        for _ in range(4):
+            i = int(rs.choice(valid_rows))
+            j = int(rs.randint(4))
+            eps = 1e-3
+            fp = f0.copy()
+            fp[i, j] += eps
+            num = (float(run(jnp.asarray(fp), w)) - base) / eps
+            np.testing.assert_allclose(np.asarray(g[0])[i, j], num, rtol=5e-2, atol=5e-3)
+    finally:
+        SS.set_compute_dtype(jnp.bfloat16)

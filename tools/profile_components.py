@@ -130,3 +130,41 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def profile_rule9():
+    rs = np.random.RandomState(0)
+    pts = jnp.asarray(
+        np.concatenate(
+            [rs.uniform(-70, 70, (BS, NPTS, 2)), rs.uniform(-2, 4, (BS, NPTS, 1)),
+             rs.uniform(0, 1, (BS, NPTS, 2))], axis=-1
+        ).astype(np.float32)
+    )
+    mask = jnp.ones((BS, NPTS), bool)
+    from efg_tpu.modeling.readers.voxel_reader import dynamic_mean_vfe
+    from efg_tpu.ops import sparse as S
+
+    grid = tuple(int(round((PC[i + 3] - PC[i]) / VOX[i])) for i in range(3))
+    feats, coords, valid = jax.jit(
+        lambda p, m: dynamic_mean_vfe(p, m, pc_range=PC, voxel_size=VOX,
+                                      max_voxels=MAXVOX, num_input_features=5)
+    )(pts, mask)
+    st = S.from_batched_voxels(feats, coords, valid, (grid[2] + 1, grid[1], grid[0]))
+    timed("build_subm_rulebook9", lambda s: S.build_subm_rulebook9(s, 3), st)
+    r9 = jax.jit(lambda s: S.build_subm_rulebook9(s, 3))(st)
+    w16 = jnp.asarray(np.random.RandomState(1).randn(27, 5, 16).astype(np.float32) * 0.1)
+    timed("gather_gemm9 C5->16", lambda f, p, fo, w, v: S.gather_gemm9(f, p, fo, w, v),
+          st.features, r9[0], r9[1], w16, st.valid)
+    w128 = jnp.asarray(np.random.RandomState(2).randn(27, 128, 128).astype(np.float32) * 0.05)
+    f128 = jnp.asarray(np.random.RandomState(3).randn(st.capacity, 128).astype(np.float32))
+    timed("gather_gemm9 C128->128", lambda f, p, fo, w, v: S.gather_gemm9(f, p, fo, w, v),
+          f128, r9[0], r9[1], w128, st.valid)
+
+    def bwd128(f, w):
+        return jax.grad(lambda ff: (S.gather_gemm9(ff, r9[0], r9[1], w, st.valid) ** 2).sum())(f)
+
+    timed("gather_gemm9 C128 bwd(dfeat)", bwd128, f128, w128)
+
+
+if __name__ == "__main__" and __import__("os").environ.get("PROFILE_RULE9"):
+    profile_rule9()
