@@ -11,6 +11,7 @@ from efg_tpu.data.datasets import waymo as _waymo  # noqa: F401
 from efg_tpu.data.datasets import coco as _coco  # noqa: F401
 from efg_tpu.data.datasets import nuscenes as _nusc  # noqa: F401
 from efg_tpu.data.datasets import synthetic_tracking as _strk  # noqa: F401
+from efg_tpu.data.datasets import waymo_tracking as _wtrk  # noqa: F401
 
 __all__ = [
     "DATASETS", "PROCESSORS", "SAMPLERS",

@@ -267,6 +267,64 @@ def gather_gemm(
     return f(features, weights)
 
 
+# Above this many grid cells, direct index tables (int32 per cell) are too
+# large and lookups fall back to binary search over the sorted keys.
+# 600M cells covers the full-res Waymo grid at batch 6 (6 × 41×1504×1504 ≈
+# 556M → a transient 2.2GB int32 table; its memset costs ~ms on HBM vs
+# tens of ms of binary-search gathers).
+DENSE_GRID_LIMIT = 600_000_000
+
+
+def _grid_cells(st: SparseTensor) -> int:
+    d, h, w = st.spatial_shape
+    return st.batch_size * d * h * w
+
+
+def _make_index_table(st: SparseTensor) -> jax.Array:
+    """Dense cell → row-index table (-1 empty) — the device analog of the
+    reference CPU voxelizer's `coor_to_voxelidx` grid
+    (`efg/geometry/point_cloud_ops.py`). One scatter of V int32."""
+    size = _grid_cells(st)
+    idx = jnp.where(st.valid, st.keys, size)
+    return (
+        jnp.full(size + 1, -1, jnp.int32)
+        .at[idx]
+        .set(jnp.arange(st.capacity, dtype=jnp.int32), mode="drop")[:size]
+    )
+
+
+def _rule9_from_table(st: SparseTensor, table: jax.Array, kernel_size):
+    """rule9 via three table gathers per (δz, δy) pair — O(1) lookups."""
+    ks = _as3(kernel_size)
+    kd, kh, kw = ks
+    assert kw == 3
+    d, h, w = st.spatial_shape
+    size = _grid_cells(st)
+    x = st.coords[:, 3]
+
+    poss, founds = [], []
+    for dz in range(-(kd - 1) // 2, (kd - 1) // 2 + 1):
+        for dy in range(-(kh - 1) // 2, (kh - 1) // 2 + 1):
+            nz = st.coords[:, 1] + dz
+            ny = st.coords[:, 2] + dy
+            ok0 = st.valid & (nz >= 0) & (nz < d) & (ny >= 0) & (ny < h)
+            q0 = ((st.coords[:, 0] * d + nz) * h + ny) * w + x
+            q0s = jnp.where(ok0, q0, 0)
+            i0 = jnp.where(ok0, table[q0s], -1)
+            okm = ok0 & (x - 1 >= 0)
+            im = jnp.where(okm, table[jnp.where(okm, q0s - 1, 0)], -1)
+            okp = ok0 & (x + 1 < w)
+            ip = jnp.where(okp, table[jnp.where(okp, jnp.minimum(q0s + 1, size - 1), 0)], -1)
+            f0, fm, fp = i0 >= 0, im >= 0, ip >= 0
+            # reconstruct the insertion position the rule9 gather expects:
+            # rows (im, i0, ip) are consecutive when present
+            pos = jnp.where(f0, i0, jnp.where(fp, ip, jnp.where(fm, im + 1, 0)))
+            pos = jnp.clip(pos, 0, st.capacity - 1)
+            poss.append(pos)
+            founds.append(jnp.stack([fm, f0, fp]))
+    return jnp.stack(poss), jnp.stack(founds)
+
+
 def build_subm_rulebook9(st: SparseTensor, kernel_size=3):
     """Compact SubM rulebook: per (δz, δy) pair, the insertion position
     `pos` of the δx = 0 query plus found-masks for δx ∈ {−1, 0, +1}.
@@ -278,10 +336,15 @@ def build_subm_rulebook9(st: SparseTensor, kernel_size=3):
 
     Returns (pos [P, V], found [P, 3, V]) with P = kd·kh, found order
     (δx=−1, 0, +1). For kw == 1 use the plain 27-rulebook path.
+
+    Small grids use a dense index table (one scatter + 3 gathers per pair);
+    large grids binary-search the sorted keys.
     """
     ks = _as3(kernel_size)
     kd, kh, kw = ks
     assert kw == 3, "rule9 requires a 3-wide x kernel"
+    if _grid_cells(st) <= DENSE_GRID_LIMIT:
+        return _rule9_from_table(st, _make_index_table(st), kernel_size)
     d, h, w = st.spatial_shape
     cap = st.capacity
     x = st.coords[:, 3]
@@ -538,15 +601,33 @@ def spconv_downsample(
     cand_key = jnp.where(ok, cand_key, _SENTINEL).reshape(-1)
 
     # --- 2. dedup + truncate to max_out ------------------------------------
-    sorted_keys = jax.lax.sort(cand_key)
-    uniq_first = jnp.concatenate(
-        [sorted_keys[:1] != _SENTINEL, sorted_keys[1:] != sorted_keys[:-1]]
-    ) & (sorted_keys != _SENTINEL)
-    slot = jnp.cumsum(uniq_first.astype(jnp.int32)) - 1
-    write = jnp.where(uniq_first & (slot < max_out), slot, max_out)
-    out_keys = (
-        jnp.full(max_out + 1, _SENTINEL, dtype=jnp.int32).at[write].min(sorted_keys)
-    )[:max_out]
+    out_cells = bsz * od * oh * ow
+    if out_cells <= DENSE_GRID_LIMIT:
+        # dense-grid dedup: mark + cumsum replaces the 8V-candidate sort;
+        # grid raster order IS key order, so out_keys come out sorted
+        valid_cand = cand_key != _SENTINEL
+        mark_idx = jnp.where(valid_cand, cand_key, out_cells)
+        mark = (
+            jnp.zeros(out_cells + 1, jnp.int32).at[mark_idx].max(1, mode="drop")
+        )[:out_cells]
+        slot_of_cell = jnp.cumsum(mark) - 1  # [cells]
+        slot = slot_of_cell[jnp.clip(cand_key, 0, out_cells - 1)]
+        write = jnp.where(valid_cand & (slot >= 0) & (slot < max_out), slot, max_out)
+        out_keys = (
+            jnp.full(max_out + 1, _SENTINEL, dtype=jnp.int32)
+            .at[write]
+            .min(cand_key, mode="drop")
+        )[:max_out]
+    else:
+        sorted_keys = jax.lax.sort(cand_key)
+        uniq_first = jnp.concatenate(
+            [sorted_keys[:1] != _SENTINEL, sorted_keys[1:] != sorted_keys[:-1]]
+        ) & (sorted_keys != _SENTINEL)
+        slot = jnp.cumsum(uniq_first.astype(jnp.int32)) - 1
+        write = jnp.where(uniq_first & (slot < max_out), slot, max_out)
+        out_keys = (
+            jnp.full(max_out + 1, _SENTINEL, dtype=jnp.int32).at[write].min(sorted_keys)
+        )[:max_out]
     out_valid = out_keys != _SENTINEL
     key_safe = jnp.where(out_valid, out_keys, 0)
     ob = key_safe // (od * oh * ow)
@@ -558,10 +639,38 @@ def spconv_downsample(
     )
 
     # --- 3. rulebook vs INPUT keys: in = o*s - p + κ ------------------------
-    # same x-adjacency trick as the SubM rulebook: one search per (κz, κy)
-    # serves all κx (consecutive κx differ by exactly 1 in key space).
     kd, kh, kw = ks
     cap_in = st.capacity
+    in_cells = _grid_cells(st)
+    if in_cells <= DENSE_GRID_LIMIT:
+        # direct index-table lookups: one gather of [max_out] per offset
+        table = _make_index_table(st)
+        rows = []
+        for kz_ in range(kd):
+            for ky_ in range(kh):
+                for kx_ in range(kw):
+                    iz = ozc * s[0] - p[0] + kz_
+                    iy = oyc * s[1] - p[1] + ky_
+                    ix = oxc * s[2] - p[2] + kx_
+                    okq = (
+                        out_valid
+                        & (iz >= 0) & (iz < d)
+                        & (iy >= 0) & (iy < h)
+                        & (ix >= 0) & (ix < w)
+                    )
+                    q = ((ob * d + iz) * h + iy) * w + ix
+                    q = jnp.where(okq, q, 0)
+                    rows.append(jnp.where(okq, table[q], -1))
+        rulebook = jnp.stack(rows)
+        out_feats = gather_gemm_strided(
+            st.features, rulebook, weights, out_valid, v_in=st.capacity
+        )
+        if bias is not None:
+            out_feats = (out_feats + bias) * out_valid[:, None].astype(out_feats.dtype)
+        return SparseTensor(out_feats, out_coords, out_keys, out_valid, (od, oh, ow), bsz)
+
+    # large input grid: binary search with the x-adjacency trick (one search
+    # per (κz, κy) serves all κx — consecutive κx differ by 1 in key space)
     rows = []
     for kz_ in range(kd):
         for ky_ in range(kh):

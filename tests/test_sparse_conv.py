@@ -286,3 +286,31 @@ def test_strided_custom_vjp_matches_autodiff():
             np.testing.assert_allclose(np.asarray(g[0])[i, j], num, rtol=5e-2, atol=5e-3)
     finally:
         SS.set_compute_dtype(jnp.bfloat16)
+
+
+def test_large_grid_fallback_paths_match_dense_path(monkeypatch):
+    """Force the binary-search/sort paths (used when grids exceed the dense
+    table limit) and check they produce identical results."""
+    from efg_tpu.ops import sparse as SS
+
+    SS.set_compute_dtype(jnp.float32)
+    try:
+        st, dense = _make_sparse(seed=51, n=45)
+        wk = np.random.RandomState(14).randn(3, 3, 3, 4, 5).astype(np.float32) * 0.1
+        w = jnp.asarray(wk.reshape(27, 4, 5))
+
+        r9_dense = S.build_subm_rulebook9(st, 3)
+        out_dense = S.spconv_downsample(st, w, kernel_size=3, stride=2, padding=1, max_out=256)
+
+        monkeypatch.setattr(SS, "DENSE_GRID_LIMIT", 0)
+        r9_search = S.build_subm_rulebook9(st, 3)
+        out_search = S.spconv_downsample(st, w, kernel_size=3, stride=2, padding=1, max_out=256)
+
+        np.testing.assert_array_equal(np.asarray(r9_dense[0]) * np.asarray(r9_dense[1][:, 1]),
+                                      np.asarray(r9_search[0]) * np.asarray(r9_search[1][:, 1]))
+        np.testing.assert_array_equal(np.asarray(r9_dense[1]), np.asarray(r9_search[1]))
+        np.testing.assert_array_equal(np.asarray(out_dense.keys), np.asarray(out_search.keys))
+        np.testing.assert_allclose(np.asarray(out_dense.features),
+                                   np.asarray(out_search.features), rtol=1e-5, atol=1e-5)
+    finally:
+        SS.set_compute_dtype(jnp.bfloat16)
