@@ -189,12 +189,15 @@ class DefaultTrainer:
             ckpt_period = int(cfg.get("checkpoint_period", 10000))
         from efg_tpu.engine.hooks import AugFadeHook
 
+        eval_period = cfg.get("eval_period")
         hooks: List[Optional[HookBase]] = [
             IterTimer(),
             LRSchedulerHook(self.lr_schedule),
             AugFadeHook(float(cfg.fade), self.max_iters) if cfg.get("fade") else None,
             PeriodicWriter(writers, period=int(cfg.log_interval)) if writers else None,
             PeriodicCheckpoint(ckpt_period) if comm.is_main_process() else None,
+            EvalHook(int(eval_period * self.iters_per_epoch), self.evaluate)
+            if eval_period and cfg.get("evaluators") else None,
         ]
         self.hooks = attach(self, hooks)
 
