@@ -93,6 +93,48 @@ class COCODataset(BaseDataset):
 
 
 @DATASETS.register()
+class COCOPanopticDataset(COCODataset):
+    """COCO panoptic: instances + the panoptic PNG segment maps
+    (reference `coco.py` panoptic variant). Segment ids are decoded from
+    RGB PNGs as id = R + G·256 + B·256² (COCO panoptic format)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        d = config.dataset
+        task = config.task if config.task != "test" else "val"
+        source = d.source
+        self.pan_root = source.root + source.get(
+            f"panoptic_{task}_images", f"/panoptic_{task}2017"
+        )
+        pan_json = source.root + source[f"panoptic_{task}_json"]
+        with open(pan_json) as f:
+            pan = json.load(f)
+        self.pan_by_img = {a["image_id"]: a for a in pan["annotations"]}
+
+    def __getitem__(self, idx):
+        img_meta, _ = self.items[idx]
+        image, info = super().__getitem__(idx)
+        pan_ann = self.pan_by_img.get(img_meta["id"])
+        if pan_ann is not None:
+            png = cv2.imread(os.path.join(self.pan_root, pan_ann["file_name"]))
+            # BGR → id = R + G·256 + B·256²
+            pan_id = (
+                png[..., 2].astype(np.int64)
+                + png[..., 1].astype(np.int64) * 256
+                + png[..., 0].astype(np.int64) * 256**2
+            )
+            info["annotations"]["pan_gt"] = pan_id
+            info["annotations"]["gt_segments"] = {
+                s["id"]: self.cat_id_to_contiguous.get(s["category_id"], -1)
+                for s in pan_ann["segments_info"]
+            }
+            info["annotations"]["gt_iscrowd_seg"] = {
+                s["id"]: bool(s.get("iscrowd", 0)) for s in pan_ann["segments_info"]
+            }
+        return image, info
+
+
+@DATASETS.register()
 class SyntheticCOCODataset(BaseDataset):
     """Procedural 2D scenes: colored rectangles on noise — lets the 2D track
     train/evaluate end-to-end without COCO on disk."""

@@ -200,6 +200,8 @@ def _gather_gemm_impl(
     """
     cout = weights.shape[-1]
     v_out = rulebook.shape[1]
+    out_dtype = features.dtype
+    features = features.astype(COMPUTE_DTYPE)
 
     def step(acc, kw):
         rule_k, w_k = kw
@@ -207,13 +209,13 @@ def _gather_gemm_impl(
         idx = jnp.where(ok, rule_k, 0)
         g = features[idx] * ok[:, None].astype(features.dtype)
         return acc + jnp.dot(
-            g.astype(COMPUTE_DTYPE), w_k.astype(COMPUTE_DTYPE),
+            g, w_k.astype(COMPUTE_DTYPE),
             preferred_element_type=jnp.float32,
         ), None
 
     init = jnp.zeros((v_out, cout), dtype=jnp.float32)
     out, _ = jax.lax.scan(step, init, (rulebook, weights))
-    out = out.astype(features.dtype)
+    out = out.astype(out_dtype)
     return out * out_valid[:, None].astype(out.dtype)
 
 
@@ -280,27 +282,32 @@ def _grid_cells(st: SparseTensor) -> int:
     return st.batch_size * d * h * w
 
 
-def _make_index_table(st: SparseTensor) -> jax.Array:
+def _make_index_table(st: SparseTensor, pad: int = 1) -> jax.Array:
     """Dense cell → row-index table (-1 empty) — the device analog of the
     reference CPU voxelizer's `coor_to_voxelidx` grid
-    (`efg/geometry/point_cloud_ops.py`). One scatter of V int32."""
+    (`efg/geometry/point_cloud_ops.py`). One scatter of V int32. `pad`
+    sentinel cells are placed on both sides so 3-wide sliced gathers at
+    cell−1 never need clipping (index with +pad offset)."""
     size = _grid_cells(st)
-    idx = jnp.where(st.valid, st.keys, size)
+    idx = jnp.where(st.valid, st.keys + pad, size + 2 * pad)
     return (
-        jnp.full(size + 1, -1, jnp.int32)
+        jnp.full(size + 2 * pad + 1, -1, jnp.int32)
         .at[idx]
-        .set(jnp.arange(st.capacity, dtype=jnp.int32), mode="drop")[:size]
+        .set(jnp.arange(st.capacity, dtype=jnp.int32), mode="drop")[: size + 2 * pad]
     )
 
 
 def _rule9_from_table(st: SparseTensor, table: jax.Array, kernel_size):
-    """rule9 via three table gathers per (δz, δy) pair — O(1) lookups."""
+    """rule9 via ONE 3-wide sliced table gather per (δz, δy) pair: the
+    (q0−1, q0, q0+1) cells are consecutive in the padded table."""
     ks = _as3(kernel_size)
     kd, kh, kw = ks
     assert kw == 3
     d, h, w = st.spatial_shape
-    size = _grid_cells(st)
     x = st.coords[:, 3]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
 
     poss, founds = [], []
     for dz in range(-(kd - 1) // 2, (kd - 1) // 2 + 1):
@@ -310,11 +317,14 @@ def _rule9_from_table(st: SparseTensor, table: jax.Array, kernel_size):
             ok0 = st.valid & (nz >= 0) & (nz < d) & (ny >= 0) & (ny < h)
             q0 = ((st.coords[:, 0] * d + nz) * h + ny) * w + x
             q0s = jnp.where(ok0, q0, 0)
-            i0 = jnp.where(ok0, table[q0s], -1)
-            okm = ok0 & (x - 1 >= 0)
-            im = jnp.where(okm, table[jnp.where(okm, q0s - 1, 0)], -1)
-            okp = ok0 & (x + 1 < w)
-            ip = jnp.where(okp, table[jnp.where(okp, jnp.minimum(q0s + 1, size - 1), 0)], -1)
+            # padded table: slice (q0-1, q0, q0+1) starts at index q0
+            tri = jax.lax.gather(
+                table, q0s[:, None], dnums, slice_sizes=(3,),
+                mode=jax.lax.GatherScatterMode.CLIP,
+            )  # [V, 3]
+            im = jnp.where(ok0 & (x - 1 >= 0), tri[:, 0], -1)
+            i0 = jnp.where(ok0, tri[:, 1], -1)
+            ip = jnp.where(ok0 & (x + 1 < w), tri[:, 2], -1)
             f0, fm, fp = i0 >= 0, im >= 0, ip >= 0
             # reconstruct the insertion position the rule9 gather expects:
             # rows (im, i0, ip) are consecutive when present
@@ -371,10 +381,13 @@ def build_subm_rulebook9(st: SparseTensor, kernel_size=3):
 
 def _gather_gemm9_impl(features, pos, found, weights, out_valid):
     """features [V, C], pos [P, V], found [P, 3, V], weights [P·3, C, O]
-    in (pair, δx) order → [V, O]. One 3C gather + GEMM per pair."""
+    in (pair, δx) order → [V, O]. One 3C gather + GEMM per pair.
+    Gathered rows are bf16 (half the bytes per row; f32 accumulation)."""
     v, c = features.shape
     p3, _, cout = weights.shape
     p = p3 // 3
+    out_dtype = features.dtype
+    features = features.astype(COMPUTE_DTYPE)
     # concat[i] = (features[i-1], features[i], features[i+1]) → row gather at
     # `pos` yields rows pos−1 / pos / pos+1 in one shot
     fm1 = jnp.concatenate([features[:1] * 0, features[:-1]], axis=0)  # f[i-1]
@@ -399,14 +412,14 @@ def _gather_gemm9_impl(features, pos, found, weights, out_valid):
             axis=-1,
         )  # [V, 3C]
         return acc + jnp.dot(
-            stacked.astype(COMPUTE_DTYPE),
+            stacked,
             w_k.reshape(3 * c, cout).astype(COMPUTE_DTYPE),
             preferred_element_type=jnp.float32,
         ), None
 
     init = jnp.zeros((v, cout), jnp.float32)
     out, _ = jax.lax.scan(step, init, (pos, found, w9))
-    out = out.astype(features.dtype)
+    out = out.astype(out_dtype)
     return out * out_valid[:, None].astype(out.dtype)
 
 
@@ -435,11 +448,11 @@ def gather_gemm9(features, pos, found, weights, out_valid):
             g, pos, found, w_flip, jnp.ones_like(out_valid),
         ).astype(feats.dtype)
 
-        # dW via per-pair gathers of the saved inputs
-        v = feats.shape[0]
-        fm1 = jnp.concatenate([feats[:1] * 0, feats[:-1]], axis=0)
-        fp1 = jnp.concatenate([feats[1:], feats[:1] * 0], axis=0)
-        concat = jnp.concatenate([fm1, feats, fp1], axis=-1)
+        # dW via per-pair gathers of the saved inputs (bf16 rows)
+        fb = feats.astype(COMPUTE_DTYPE)
+        fm1 = jnp.concatenate([fb[:1] * 0, fb[:-1]], axis=0)
+        fp1 = jnp.concatenate([fb[1:], fb[:1] * 0], axis=0)
+        concat = jnp.concatenate([fm1, fb, fp1], axis=-1)
 
         def step(_, args):
             pos_k, found_k = args
@@ -450,7 +463,7 @@ def gather_gemm9(features, pos, found, weights, out_valid):
             gp = gp * found_k[2][:, None].astype(gr.dtype)
             stacked = jnp.concatenate([gm, g0, gp], axis=-1)  # [V, 3C]
             dw_k = jnp.dot(
-                stacked.T.astype(COMPUTE_DTYPE), g.astype(COMPUTE_DTYPE),
+                stacked.T, g.astype(COMPUTE_DTYPE),
                 preferred_element_type=jnp.float32,
             )  # [3C, O]
             return None, dw_k.reshape(3, c, cout)
@@ -610,7 +623,8 @@ def spconv_downsample(
         mark = (
             jnp.zeros(out_cells + 1, jnp.int32).at[mark_idx].max(1, mode="drop")
         )[:out_cells]
-        slot_of_cell = jnp.cumsum(mark) - 1  # [cells]
+        # associative_scan: log-depth prefix sum (jnp.cumsum serializes on TPU)
+        slot_of_cell = jax.lax.associative_scan(jnp.add, mark) - 1  # [cells]
         slot = slot_of_cell[jnp.clip(cand_key, 0, out_cells - 1)]
         write = jnp.where(valid_cand & (slot >= 0) & (slot < max_out), slot, max_out)
         out_keys = (
@@ -660,7 +674,7 @@ def spconv_downsample(
                     )
                     q = ((ob * d + iz) * h + iy) * w + ix
                     q = jnp.where(okq, q, 0)
-                    rows.append(jnp.where(okq, table[q], -1))
+                    rows.append(jnp.where(okq, table[q + 1], -1))  # +1: padded table
         rulebook = jnp.stack(rows)
         out_feats = gather_gemm_strided(
             st.features, rulebook, weights, out_valid, v_in=st.capacity
