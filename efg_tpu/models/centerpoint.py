@@ -152,6 +152,68 @@ def compute_loss(
     return losses
 
 
+def forward_double_flip(module, variables, points, points_mask):
+    """Double-flip test-time augmentation (reference `CenterHead.predict`
+    double_flip branch, `center_head.py:186-263`): run the model on the
+    original cloud plus y-flip, x-flip, and xy-flip copies, un-flip the
+    prediction maps, and average. Returns averaged per-task pred dicts."""
+    def flip_pts(pts, fy, fx):
+        y = -pts[..., 1] if fy else pts[..., 1]
+        x = -pts[..., 0] if fx else pts[..., 0]
+        return jnp.concatenate(
+            [x[..., None], y[..., None], pts[..., 2:]], axis=-1
+        )
+
+    variants = [(False, False), (True, False), (False, True), (True, True)]
+    all_preds = [
+        module.apply(variables, flip_pts(points, fy, fx), points_mask, False)
+        for fy, fx in variants
+    ]
+
+    def unflip(arr, fy, fx):
+        # maps are [B, H(y), W(x), C]
+        if fy:
+            arr = arr[:, ::-1]
+        if fx:
+            arr = arr[:, :, ::-1]
+        return arr
+
+    merged = []
+    for t in range(len(all_preds[0])):
+        out = {}
+        for key in all_preds[0][t]:
+            acc = []
+            for (fy, fx), preds in zip(variants, all_preds):
+                a = unflip(preds[t][key], fy, fx)
+                if key == "reg":
+                    # sub-pixel offsets mirror: off' = 1 - off on flipped axes
+                    ax = a[..., 0:1]
+                    ay = a[..., 1:2]
+                    if fx:
+                        ax = 1.0 - ax
+                    if fy:
+                        ay = 1.0 - ay
+                    a = jnp.concatenate([ax, ay], axis=-1)
+                elif key == "rot":
+                    s_, c_ = a[..., 0:1], a[..., 1:2]
+                    if fy:  # y → −y: θ → −θ
+                        s_ = -s_
+                    if fx:  # x → −x: θ → π − θ
+                        c_ = -c_
+                    a = jnp.concatenate([s_, c_], axis=-1)
+                elif key == "vel":
+                    vx_, vy_ = a[..., 0:1], a[..., 1:2]
+                    if fx:
+                        vx_ = -vx_
+                    if fy:
+                        vy_ = -vy_
+                    a = jnp.concatenate([vx_, vy_], axis=-1)
+                acc.append(a)
+            out[key] = sum(acc) / len(acc)
+        merged.append(out)
+    return merged
+
+
 def predict(
     preds: List[Dict[str, jax.Array]],
     *,

@@ -169,3 +169,14 @@ def test_pillarnet_forward_and_loss():
     cfg["loss"] = dict(MODEL_CFG["loss"], out_size_factor=1)
     losses = CP.compute_loss(preds, batch, model_cfg=cfg)
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_double_flip_tta(voxelnet_state):
+    model, variables, batch = voxelnet_state
+    merged = CP.forward_double_flip(model, variables, batch["points"], batch["points_mask"])
+    plain = model.apply(variables, batch["points"], batch["points_mask"], False)
+    assert merged[0]["hm"].shape == plain[0]["hm"].shape
+    for k in ("hm", "reg", "rot", "dim", "height"):
+        assert np.isfinite(np.asarray(merged[0][k])).all()
+    out = CP.predict(merged, post_cfg=POST_CFG, model_cfg=MODEL_CFG)
+    assert out["box3d"].shape == (2, 16, 7)
