@@ -121,3 +121,46 @@ def test_trajectoryformer_forward_loss():
     assert refined.shape == (n, 7)
     # zero-init reg head → refinement starts as identity
     np.testing.assert_allclose(np.asarray(refined), np.asarray(args["hyp_boxes"]), atol=1e-5)
+
+
+def test_trajectoryformer_tracker_loop():
+    """End-to-end hypothesis tracker: moving objects, points, model in the
+    loop — IDs persist across frames."""
+    model = TF.TrajectoryFormer(d_model=32, num_layers=1, num_points=32, history=5)
+    rs = np.random.RandomState(5)
+    dummy = dict(
+        hyp_points=jnp.zeros((8, 32, 4)), hyp_pts_mask=jnp.ones((8, 32), bool),
+        hyp_traj=jnp.zeros((8, 5, 8)), hyp_traj_mask=jnp.ones((8, 5), bool),
+        hyp_boxes=jnp.zeros((8, 7)), group_ids=jnp.arange(8), valid=jnp.ones(8, bool),
+    )
+    variables = model.init(jax.random.key(0), **dummy, train=False)
+
+    from efg_tpu.tracking.tf_tracker import TrajectoryFormerTracker
+
+    tracker = TrajectoryFormerTracker(
+        model, variables, class_names=("VEHICLE", "PEDESTRIAN", "CYCLIST"),
+        max_candidates=16, history=5, num_points=32, score_fuse=0.3,
+    )
+    starts = rs.uniform(-20, 20, (3, 2))
+    vels = rs.uniform(-3, 3, (3, 2))
+    ids_per_frame = []
+    for f in range(6):
+        dets = []
+        pts_list = []
+        for i in range(3):
+            ct = starts[i] + vels[i] * f * 0.1
+            box = np.array([ct[0], ct[1], 0, 4, 2, 1.5, vels[i][0], vels[i][1], 0.0], np.float32)
+            dets.append(dict(box=box, score=0.9, detection_name="VEHICLE",
+                             translation=box[:3].tolist(), velocity=vels[i].tolist()))
+            local = rs.uniform(-0.4, 0.4, (40, 3)) * [4, 2, 1.5]
+            pts_list.append(local + [ct[0], ct[1], 0])
+        pts = np.concatenate(pts_list).astype(np.float32)
+        pts = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], axis=1)
+        pad = np.zeros((256, 4), np.float32)
+        pad[: len(pts)] = pts
+        mask = np.zeros(256, bool)
+        mask[: len(pts)] = True
+        tracks = tracker.step(pad, mask, dets)
+        ids_per_frame.append(sorted(t["tracking_id"] for t in tracks))
+    assert len(ids_per_frame[-1]) == 3
+    assert ids_per_frame[1] == ids_per_frame[-1]  # stable identities
