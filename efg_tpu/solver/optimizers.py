@@ -83,6 +83,49 @@ def d2_sgd(
     )
 
 
+@OPTIMIZERS.register(name="AdamWMulti")
+def adamw_multi(
+    *,
+    lr_schedule: Callable,
+    momentum_schedule: Optional[Callable] = None,
+    weight_decay: float = 0.01,
+    betas=(0.9, 0.99),
+    eps: float = 1e-9,
+    lr_multipliers: Optional[dict] = None,
+    **_,
+):
+    """AdamW with per-submodule learning-rate multipliers (reference
+    `AdamWMulti`, `playground/detection.3d/waymo/conquer/.../modules/
+    optimizer.py`): `lr_multipliers` maps top-level param-path substrings
+    (e.g. "backbone") to a factor on the base schedule."""
+    mults = dict(lr_multipliers or {})
+
+    def scale_for(path) -> float:
+        names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+        joined = "/".join(names)
+        for key, m in mults.items():
+            if key in joined:
+                return float(m)
+        return 1.0
+
+    def label_fn(params):
+        import jax
+
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: f"m{scale_for(path)}", params
+        )
+
+    def make(mult: float):
+        return optax.adamw(
+            lambda step: lr_schedule(step) * mult,
+            b1=betas[0], b2=betas[1], eps=eps, weight_decay=weight_decay,
+        )
+
+    all_mults = sorted({1.0, *(float(v) for v in mults.values())})
+    transforms = {f"m{m}": make(m) for m in all_mults}
+    return optax.multi_transform(transforms, label_fn)
+
+
 @OPTIMIZERS.register(name="Adafactor")
 def adafactor(*, lr_schedule, momentum_schedule=None, weight_decay: float = 0.0, **_):
     return optax.adafactor(lr_schedule, weight_decay_rate=weight_decay or None)
