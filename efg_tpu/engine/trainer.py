@@ -182,6 +182,10 @@ class DefaultTrainer:
         if comm.is_main_process():
             writers.append(CommonMetricPrinter(self.max_iters, window_size=int(cfg.window_size)))
             writers.append(JSONWriter(os.path.join(out_dir, "metrics.json"), int(cfg.window_size)))
+            if cfg.get("tensorboard", False):
+                from efg_tpu.utils.events import TensorboardWriter
+
+                writers.append(TensorboardWriter(out_dir, int(cfg.window_size)))
         ckpt_period = cfg.get("checkpoint_iter") or None
         if ckpt_period is None and cfg.get("checkpoint_epoch"):
             ckpt_period = int(cfg.checkpoint_epoch * self.iters_per_epoch)

@@ -623,8 +623,10 @@ def spconv_downsample(
         mark = (
             jnp.zeros(out_cells + 1, jnp.int32).at[mark_idx].max(1, mode="drop")
         )[:out_cells]
-        # associative_scan: log-depth prefix sum (jnp.cumsum serializes on TPU)
-        slot_of_cell = jax.lax.associative_scan(jnp.add, mark) - 1  # [cells]
+        # NOTE: lax.associative_scan at this size (tens of millions) sends
+        # the tunneled TPU compiler into >80-minute compiles; plain cumsum
+        # compiles fine and the runtime difference is small at these sizes.
+        slot_of_cell = jnp.cumsum(mark) - 1  # [cells]
         slot = slot_of_cell[jnp.clip(cand_key, 0, out_cells - 1)]
         write = jnp.where(valid_cand & (slot >= 0) & (slot < max_out), slot, max_out)
         out_keys = (
