@@ -83,6 +83,16 @@ class VoxelGenerator:
         ).astype(np.int64)
 
     def generate(self, points: np.ndarray, max_voxels: int | None = None):
+        try:  # native C++ path (44× the numpy fallback) when built
+            from efg_tpu import native
+
+            if native.available():
+                return native.points_to_voxel(
+                    points, self.voxel_size, self.point_cloud_range,
+                    self.max_num_points, max_voxels or self.max_voxels,
+                )
+        except Exception:
+            pass
         return points_to_voxel(
             points,
             self.voxel_size,
