@@ -1,0 +1,94 @@
+"""Waymo AP/APH and nuScenes metric core tests."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from efg_tpu.evaluator.det3d_metrics import DetectionAPCalculator, _heading_accuracy
+
+
+def _boxes(rs, n, spread=30.0):
+    return np.column_stack(
+        [rs.uniform(-spread, spread, (n, 2)), rs.uniform(-1, 1, n),
+         rs.uniform(3, 5, n), rs.uniform(1.5, 2.5, n), rs.uniform(1.2, 2.0, n),
+         rs.uniform(-np.pi, np.pi, n)]
+    ).astype(np.float32)
+
+
+def test_heading_accuracy():
+    assert _heading_accuracy(np.array(0.0), np.array(0.0)) == pytest.approx(1.0)
+    assert _heading_accuracy(np.array(0.0), np.array(np.pi)) == pytest.approx(0.0)
+    assert _heading_accuracy(np.array(0.0), np.array(np.pi / 2)) == pytest.approx(0.5)
+    # wrap-around
+    assert _heading_accuracy(np.array(-np.pi + 0.01), np.array(np.pi - 0.01)) > 0.99
+
+
+def test_perfect_detections_ap1():
+    calc = DetectionAPCalculator(["VEHICLE"], {"VEHICLE": 0.7})
+    rs = np.random.RandomState(0)
+    for f in range(4):
+        gt = _boxes(rs, 5)
+        calc.add_frame(gt, np.ones(5) * 0.9, np.ones(5, np.int64),
+                       gt, np.ones(5, np.int64))
+    res = calc.compute()
+    assert res["VEHICLE/L2/AP"] == pytest.approx(1.0)
+    assert res["VEHICLE/L2/APH"] == pytest.approx(1.0)
+
+
+def test_heading_errors_reduce_aph_not_ap():
+    calc = DetectionAPCalculator(["VEHICLE"], {"VEHICLE": 0.7})
+    rs = np.random.RandomState(1)
+    gt = _boxes(rs, 6)
+    pred = gt.copy()
+    pred[:, -1] += np.pi  # perfectly localized, 180° wrong heading
+    calc.add_frame(pred, np.ones(6) * 0.9, np.ones(6, np.int64),
+                   gt, np.ones(6, np.int64))
+    res = calc.compute()
+    assert res["VEHICLE/L2/AP"] == pytest.approx(1.0)
+    assert res["VEHICLE/L2/APH"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_l1_l2_difficulty_split():
+    calc = DetectionAPCalculator(["VEHICLE"], {"VEHICLE": 0.7})
+    rs = np.random.RandomState(2)
+    gt = _boxes(rs, 4)
+    difficulty = np.array([0, 0, 2, 2], np.int64)  # two L2-only GTs
+    # detect only the L1 boxes
+    calc.add_frame(gt[:2], np.ones(2) * 0.9, np.ones(2, np.int64),
+                   gt, np.ones(4, np.int64), difficulty, np.full(4, 100))
+    res = calc.compute()
+    assert res["VEHICLE/L1/AP"] == pytest.approx(1.0)   # all L1 found
+    assert res["VEHICLE/L2/AP"] == pytest.approx(0.5, abs=0.01)  # half of all
+
+
+def test_false_positives_lower_ap():
+    calc = DetectionAPCalculator(["VEHICLE"], {"VEHICLE": 0.7})
+    rs = np.random.RandomState(3)
+    gt = _boxes(rs, 3)
+    fp = _boxes(rs, 3, spread=200.0)
+    pred = np.concatenate([gt, fp])
+    scores = np.array([0.9, 0.9, 0.9, 0.95, 0.95, 0.95])  # FPs score higher
+    calc.add_frame(pred, scores, np.ones(6, np.int64), gt, np.ones(3, np.int64))
+    res = calc.compute()
+    assert res["VEHICLE/L2/AP"] < 0.6
+
+
+def test_nuscenes_metric_core():
+    from efg_tpu.evaluator.nuscenes_evaluator import _ClassAccumulator
+
+    rs = np.random.RandomState(4)
+    acc = _ClassAccumulator()
+    gt = np.column_stack(
+        [rs.uniform(-30, 30, (5, 2)), rs.uniform(-1, 1, 5), rs.uniform(3, 5, (5, 3)),
+         rs.randn(5, 2), rs.uniform(-np.pi, np.pi, 5)]
+    )
+    det = gt.copy()
+    det[:, :2] += 0.3  # within the 0.5m threshold
+    acc.frames.append(dict(det=det, scores=np.ones(5) * 0.9, gt=gt))
+    r = acc.ap_and_tp()
+    assert r["AP@0.5"] > 0.95
+    assert r["AP@4.0"] > 0.95
+    assert r["TRANS"] == pytest.approx(np.sqrt(2) * 0.3, rel=0.05)
+    assert r["SCALE"] == pytest.approx(0.0, abs=1e-6)
+    assert r["ORIENT"] == pytest.approx(0.0, abs=1e-6)
