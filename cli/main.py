@@ -65,6 +65,13 @@ def setup_output_dir(config, config_path: str) -> str:
 def main():
     args = get_parser().parse_args()
 
+    # Some PJRT plugins self-register regardless of JAX_PLATFORMS; make the
+    # env var authoritative before any backend is initialized.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     if args.num_machines > 1:
         import jax
 

@@ -155,14 +155,56 @@ class AugFadeHook(HookBase):
         if not self._faded and t.iter >= self._fade_start:
             ds = t.dataset
             if getattr(ds, "transforms", None):
+                from efg_tpu.data.prefetcher import DevicePrefetcher
+
                 ds.transforms = ds.transforms[1:]
-                t._data_iter = iter(t.dataloader)
+                t._data_iter = DevicePrefetcher(iter(t.dataloader), mesh=t.mesh)
             self._faded = True
             import logging
 
             logging.getLogger("efg_tpu").info(
                 f"Aug fade at iter {t.iter}: dropped leading processor"
             )
+
+
+class ProfilerHook(HookBase):
+    """Capture a `jax.profiler` trace over iterations
+    [`start_iter`, `start_iter + num_iters`) into `<out_dir>/profile`
+    (viewable in TensorBoard/xprof). Fills the reference's tracing gap
+    (SURVEY §aux: it had no profiler integration; this is the TPU-native
+    equivalent of a torch.profiler/nsight hook)."""
+
+    def __init__(self, out_dir: str, start_iter: int = 10, num_iters: int = 5):
+        import os
+
+        self._dir = os.path.join(out_dir, "profile")
+        self._start = int(start_iter)
+        self._stop = int(start_iter) + max(1, int(num_iters))
+        self._active = False
+
+    def before_step(self):
+        if not self._active and self.trainer.iter == self._start:
+            import jax
+
+            jax.profiler.start_trace(self._dir)
+            self._active = True
+
+    def _finish(self):
+        if self._active:
+            import jax
+
+            jax.profiler.stop_trace()
+            self._active = False
+            import logging
+
+            logging.getLogger("efg_tpu").info(f"Profiler trace written to {self._dir}")
+
+    def after_step(self):
+        if self._active and self.trainer.iter + 1 >= self._stop:
+            self._finish()
+
+    def after_train(self):
+        self._finish()
 
 
 def attach(trainer, hooks: List[Optional[HookBase]]) -> List[HookBase]:

@@ -191,12 +191,19 @@ class DefaultTrainer:
             ckpt_period = int(cfg.checkpoint_epoch * self.iters_per_epoch)
         if ckpt_period is None:
             ckpt_period = int(cfg.get("checkpoint_period", 10000))
-        from efg_tpu.engine.hooks import AugFadeHook
+        from efg_tpu.engine.hooks import AugFadeHook, ProfilerHook
 
+        prof = cfg.get("profiler")  # e.g. {start_iter: 10, num_iters: 5} or true
+        if prof is True:
+            prof = {}
+        elif not isinstance(prof, dict):
+            prof = None  # absent / false / null -> no profiling
         eval_period = cfg.get("eval_period")
         hooks: List[Optional[HookBase]] = [
             IterTimer(),
             LRSchedulerHook(self.lr_schedule),
+            ProfilerHook(out_dir, int(prof.get("start_iter", 10)), int(prof.get("num_iters", 5)))
+            if prof is not None and comm.is_main_process() else None,
             AugFadeHook(float(cfg.fade), self.max_iters) if cfg.get("fade") else None,
             PeriodicWriter(writers, period=int(cfg.log_interval)) if writers else None,
             PeriodicCheckpoint(ckpt_period) if comm.is_main_process() else None,
@@ -255,16 +262,14 @@ class DefaultTrainer:
         with EventStorage(self.iter) as self.storage:
             for h in self.hooks:
                 h.before_train()
-            self._data_iter = iter(self.dataloader)
+            from efg_tpu.data.prefetcher import DevicePrefetcher
+
+            self._data_iter = DevicePrefetcher(iter(self.dataloader), mesh=self.mesh)
             pending = None  # (iter, metrics) — fetched one step late to avoid syncs
             while self.iter < self.max_iters:
                 for h in self.hooks:
                     h.before_step()
-                batch = next(self._data_iter)
-                device_batch = shard_batch(
-                    {k: v for k, v in batch.items() if isinstance(v, np.ndarray)},
-                    self.mesh,
-                )
+                device_batch = next(self._data_iter)
                 self.state, metrics = self.train_step(self.state, device_batch)
                 if pending is not None:
                     self._write_metrics(*pending)

@@ -539,7 +539,7 @@ def predict(preds: Dict[str, Any], *, model_cfg: Dict[str, Any], top_k: int = 30
     boxes = coder.decode(preds["dec_boxes"][-1])  # [B, Q, 7]
     b, q, c = logits.shape
     prob = jax.nn.sigmoid(logits).reshape(b, q * c)
-    scores, idx = jax.lax.top_k(prob, top_k)
+    scores, idx = jax.lax.top_k(prob, min(top_k, q * c))
     qidx = idx // c
     labels = idx % c + 1
     out_boxes = jnp.take_along_axis(boxes, qidx[..., None], axis=1)
