@@ -1,0 +1,112 @@
+"""Pallas fused sparse-conv kernels vs the XLA gather-GEMM oracle.
+
+Runs in interpret mode on the CPU test mesh; the real TPU path is exercised
+by bench.py / the driver's compile check.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp
+
+from efg_tpu.ops import sparse as S
+from efg_tpu.ops.pallas import sparse_kernels as PK
+
+from test_sparse_conv import _dense_conv, _make_sparse
+
+PK.set_interpret(True)
+
+
+def _rand_weights(rs, k, cin, cout, scale=0.1):
+    return jnp.asarray(rs.randn(k, cin, cout).astype(np.float32) * scale)
+
+
+def test_monotone_rule_matches_rule9_semantics():
+    st, _ = _make_sparse(seed=0, n=48, cap=64)
+    packed = PK.build_monotone_rule9(st, 3)
+    assert packed.shape == (9, st.capacity)
+    pos = np.asarray(packed) >> 3
+    assert (np.diff(pos, axis=1) >= 0).all(), "pos must be monotone per pair"
+    # found bits agree with the XLA rule9 builder
+    pos9, found9 = S.build_subm_rulebook9(st, 3)
+    f_old = np.asarray(found9)  # [P, 3, V]
+    p = np.asarray(packed)
+    f_new = np.stack([(p >> 2) & 1, (p >> 1) & 1, p & 1], axis=1).astype(bool)
+    np.testing.assert_array_equal(f_new, f_old)
+    # where the middle tap is found, pos equals the XLA insertion position
+    pos_x = np.asarray(pos9)
+    np.testing.assert_array_equal(pos[f_old[:, 1]], pos_x[f_old[:, 1]])
+
+
+@pytest.mark.parametrize("cin,cout", [(4, 6), (8, 8), (5, 7)])
+def test_fused_gather_gemm_matches_oracle(cin, cout):
+    st, dense = _make_sparse(seed=1, n=48, cap=64, c=cin)
+    rs = np.random.RandomState(2)
+    w = _rand_weights(rs, 27, cin, cout)
+    packed = PK.build_monotone_rule9(st, 3)
+
+    got = PK.subm_conv9(st.features, packed, w, st.valid)
+
+    S.set_compute_dtype(jnp.float32)
+    try:
+        pos9, found9 = S.build_subm_rulebook9(st, 3)
+        want = S.gather_gemm9(st.features, pos9, found9, w, st.valid)
+    finally:
+        S.set_compute_dtype(jnp.bfloat16)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+    # and against the dense conv oracle at valid sites
+    wk = np.asarray(w).reshape(3, 3, 3, cin, cout)
+    dense_out = _dense_conv(dense, wk)
+    coords = np.asarray(st.coords)
+    for i in np.flatnonzero(np.asarray(st.valid)):
+        b, z, y, x = coords[i]
+        np.testing.assert_allclose(
+            np.asarray(got)[i], dense_out[b, z, y, x], rtol=3e-2, atol=3e-2
+        )
+
+
+def test_fused_vjp_matches_oracle():
+    st, _ = _make_sparse(seed=3, n=40, cap=64, c=4)
+    rs = np.random.RandomState(4)
+    w = _rand_weights(rs, 27, 4, 6)
+    packed = PK.build_monotone_rule9(st, 3)
+    pos9, found9 = S.build_subm_rulebook9(st, 3)
+
+    def f_pallas(feats, w):
+        return jnp.sum(PK.subm_conv9(feats, packed, w, st.valid) ** 2)
+
+    def f_xla(feats, w):
+        return jnp.sum(S.gather_gemm9(feats, pos9, found9, w, st.valid) ** 2)
+
+    S.set_compute_dtype(jnp.float32)
+    try:
+        gp = jax.grad(f_pallas, argnums=(0, 1))(st.features, w)
+        gx = jax.grad(f_xla, argnums=(0, 1))(st.features, w)
+    finally:
+        S.set_compute_dtype(jnp.bfloat16)
+
+    np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gx[0]), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gx[1]), rtol=3e-2, atol=3e-2)
+
+
+def test_tile_padding_and_overflow_path():
+    # V not a multiple of TILE and windows crossing chunk boundaries
+    st, _ = _make_sparse(seed=5, n=60, cap=100, c=4, shape=(4, 9, 33))
+    rs = np.random.RandomState(6)
+    w = _rand_weights(rs, 27, 4, 4)
+    packed = PK.build_monotone_rule9(st, 3)
+    # band=16 forces the overflow loop (spans of 100 rows >> 16)
+    got = PK.fused_gather_gemm(
+        st.features, packed, w.reshape(9, 3, 4, 4), tile=128, band=16
+    )
+    S.set_compute_dtype(jnp.float32)
+    try:
+        pos9, found9 = S.build_subm_rulebook9(st, 3)
+        want = S.gather_gemm9(st.features, pos9, found9, w, st.valid)
+    finally:
+        S.set_compute_dtype(jnp.bfloat16)
+    got = got * np.asarray(st.valid)[:, None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
