@@ -27,10 +27,24 @@ WAYMO_IOU = {"VEHICLE": 0.7, "PEDESTRIAN": 0.5, "CYCLIST": 0.5}
 
 @EVALUATORS.register()
 class WaymoDetEvaluator(DatasetEvaluator):
+    """`trainer.waymo_metric: official` (default — Hungarian matching +
+    101-cutoff recall-sampled AP, `waymo_official.py`) or `greedy` (the
+    fast smoke path, `det3d_metrics.py`)."""
+
     def __init__(self, config, dataset):
         self.class_names = list(config.dataset.classes)
         thr = {c: WAYMO_IOU.get(c, 0.5) for c in self.class_names}
-        self.calc = DetectionAPCalculator(self.class_names, thr)
+        core = "official"
+        try:
+            core = config.trainer.get("waymo_metric", "official")
+        except Exception:
+            pass
+        if core == "official":
+            from efg_tpu.evaluator.waymo_official import WaymoOfficialCalculator
+
+            self.calc = WaymoOfficialCalculator(self.class_names, thr)
+        else:
+            self.calc = DetectionAPCalculator(self.class_names, thr)
         self._frames: List[Dict] = []
 
     def reset(self):

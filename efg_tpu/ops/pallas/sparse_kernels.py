@@ -3,23 +3,26 @@
 Replaces XLA row-gathers (measured ~4 cycles/row → 9-40 ms per SubM layer at
 Waymo scale) with a fused banded gather + MXU GEMM. Key observations:
 
-1. Voxel rows are sorted by linearized key, and for a fixed kernel-offset
-   pair (δz, δy) the neighbor query keys are `keys + Δ` with constant Δ — so
-   the lookup positions `pos` are MONOTONE in the row index. Every 128
-   consecutive output rows therefore read from a NARROW contiguous band of
-   input rows (~128·local-density), which is DMA'd HBM→VMEM and gathered
-   with a small one-hot [W, 128] matmul on the MXU (Mosaic has no general
-   vectorized dynamic row-gather; probed 2026-08: lane-gather is 128-lane /
-   32-bit only, sublane-gather and bf16 rolls crash).
+1. Voxel rows are sorted by linearized (b, z, y, x) key, and for a fixed
+   kernel-offset pair (δz, δy) the neighbor query keys are `keys + Δ` with
+   constant Δ — so the lookup positions `pos` are MONOTONE in the row index.
 2. The three δx taps live in ADJACENT rows (pos-1, pos, pos+found0), so the
    caller pre-concatenates `feat3[v] = (f[v-1], f[v], f[v+1])` (two shifted
    copies — cheap XLA) and ONE one-hot gather fetches all three taps.
-3. Band DMAs are pipelined through a DEPTH-deep ring (band starts are
-   scalar-prefetched): band g's compute refills its ring slot with band
-   g+DEPTH, hiding DMA latency behind ~DEPTH bands of compute.
-4. Bands whose 128 rows have no found taps skip their gather matmul
-   entirely (boundary pairs are ~half empty in real clouds).
-5. The rulebook is ONE packed int32 per (pair, row): pos·8 + found bits,
+3. The three δy pairs of one δz "group" look up rows only a few apart
+   (±1 y-line ≈ a handful of voxel rows), so ONE window DMA per
+   (tile, δz-group) serves three pairs — 3 DMAs per tile instead of 9
+   (DMA issue cost ~1µs dominates many-small-DMA designs, measured).
+4. Within the window, every 128 consecutive output rows read a NARROW band
+   (~128·local-density rows, scalar-prefetched starts); the gather is a
+   small one-hot [W, 128] matmul per band on the MXU (Mosaic has no general
+   vectorized dynamic row-gather; probed 2026-08: lane-gather is 128-lane /
+   32-bit only, sublane-gather and bf16 rolls crash). Bands with no found
+   taps are skipped; bands escaping the window fall back to direct DMAs.
+5. Gathered tap blocks accumulate into a stacked [27·C, T] VMEM buffer so
+   the weight contraction is ONE dense [27C, T]ᵀ × [27C, O] MXU GEMM per
+   tile (small-K per-tap GEMMs waste the 128-deep MXU K dimension).
+6. The rulebook is ONE packed int32 per (pair, row): pos·8 + found bits,
    shaped [P, V] so rows land on the 128-lane axis (separate pos/found
    arrays with 1-3 trailing lanes get padded to 128 lanes in HBM — a
    hidden ~100× rulebook traffic blowup, measured).
@@ -45,9 +48,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512  # output rows per grid step (TILE/128 bands per step)
-BAND = 256  # input rows per band DMA (covers 128 outputs at density ≤ ~1.9)
-DEPTH = 8   # band-DMA ring depth (latency hiding)
+TILE = 512   # output rows per grid step (TILE/128 bands per pair)
+BAND = 192   # band rows per 128 output rows (covers density ≤ ~1.4 + align)
+WSLACK = 512  # window rows beyond TILE (covers group spread + density)
 
 _INTERPRET = False  # set by tests to run kernels on CPU
 
@@ -65,84 +68,12 @@ def _rup(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-def _gather_banded(bstarts_ref, row, feat_ref, gacc,
-                   bbuf, obuf, bsems, osem, *, p, i, n_pairs, tile, band,
-                   n_bands):
-    """gacc [3C_pad, T] f32 = feat3[pos[t]] rows (transposed) for this
-    (tile, pair) step, gathered band-by-band through the DMA ring."""
-    nb_static = tile // 128
-    step = i * n_pairs + p
-    gidx0 = step * nb_static
-
-    def band_dma(g):
-        slot = jax.lax.rem(g, DEPTH)
-        start = pl.multiple_of(bstarts_ref[g], 8)
-        return pltpu.make_async_copy(
-            feat_ref.at[pl.ds(start, band), :], bbuf.at[slot], bsems.at[slot]
-        )
-
-    @pl.when(gidx0 == 0)
-    def _():
-        # prologue: fill the whole ring (static unroll; n_bands ≥ 1)
-        for k in range(min(DEPTH, n_bands)):
-            band_dma(jnp.int32(k)).start()
-
-    for b in range(nb_static):  # static unroll
-        g = gidx0 + b
-        slot = jax.lax.rem(g, DEPTH)
-        cols = row[:, b * 128 : (b + 1) * 128]
-        pos_b = cols >> 3  # [1, 128]
-        any_found = jnp.max(cols & 7) > 0
-        qs8 = bstarts_ref[g]
-        qe = jnp.max(pos_b)
-
-        band_dma(g).wait()
-
-        @pl.when(any_found)
-        def _():
-            q_ids = jax.lax.broadcasted_iota(jnp.int32, (band, 128), 0)
-            oh = (q_ids == (pos_b - qs8)).astype(jnp.bfloat16)  # [W, 128]
-            gacc[:, b * 128 : (b + 1) * 128] = jax.lax.dot_general(
-                bbuf[slot], oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # overflow: band rows spanning > BAND (local density spike)
-            novf = (qe + 1 - qs8 + band - 1) // band
-
-            def ovf(j, _):
-                rs = pl.multiple_of(qs8 + j * band, 8)
-                dma = pltpu.make_async_copy(
-                    feat_ref.at[pl.ds(rs, band), :], obuf, osem
-                )
-                dma.start()
-                dma.wait()
-                oh2 = (q_ids == (pos_b - rs)).astype(jnp.bfloat16)
-                gacc[:, b * 128 : (b + 1) * 128] += jax.lax.dot_general(
-                    obuf[:], oh2, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                return 0
-
-            jax.lax.fori_loop(1, novf, ovf, 0)
-
-        @pl.when(jnp.logical_not(any_found))
-        def _():
-            gacc[:, b * 128 : (b + 1) * 128] = jnp.zeros(
-                (gacc.shape[0], 128), jnp.float32
-            )
-
-        # refill this slot with band g+DEPTH
-        @pl.when(g + DEPTH < n_bands)
-        def _():
-            band_dma(g + DEPTH).start()
-
-
-def _taps(gacc, row, cin):
-    """Decode masks from the packed rulebook row and return the three
-    masked tap blocks [cin, T] bf16: (δx=-1, δx=0, δx=+1)."""
-    fm = ((row >> 2) & 1).astype(jnp.float32)  # [1, T]
-    f0 = ((row >> 1) & 1).astype(jnp.float32)
-    fp = (row & 1).astype(jnp.float32)
+def _taps_band(gacc, cols, cin):
+    """Masked tap blocks ([cin, 128] bf16 ×3) for one band from the packed
+    rulebook columns [1, 128]."""
+    fm = ((cols >> 2) & 1).astype(jnp.float32)
+    f0 = ((cols >> 1) & 1).astype(jnp.float32)
+    fp = (cols & 1).astype(jnp.float32)
     g = gacc[:].astype(jnp.bfloat16)
     gm = g[0:cin] * fm.astype(jnp.bfloat16)
     g0 = g[cin : 2 * cin]
@@ -151,35 +82,126 @@ def _taps(gacc, row, cin):
     return gm, g0 * f0.astype(jnp.bfloat16), gp
 
 
+def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
+                  stacked, wbuf, obuf, gacc, wsems, osem, *,
+                  i, g, n_steps, tile, band, chunkw, cin, c3p):
+    """Gather the three δy pairs of δz-group `g` for tile `i` and store the
+    masked tap blocks into `stacked` (rows ordered (pair, tap, channel)).
+
+    row3: [3, T] packed rulebook rows for pairs 3g..3g+2.
+    Window for step s=(i·3+g) was DMA'd into wbuf[s%2] by the previous
+    step; this step prefetches step s+1's window.
+    """
+    step = i * 3 + g
+    cur = jax.lax.rem(step, 2)
+    nb = tile // 128
+
+    def win_dma(slot, start):
+        start = pl.multiple_of(start, 16)
+        return pltpu.make_async_copy(
+            feat_ref.at[pl.ds(start, chunkw), :], wbuf.at[slot], wsems.at[slot]
+        )
+
+    @pl.when(step == 0)
+    def _():
+        win_dma(0, wstarts_ref[0]).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        win_dma(1 - cur, wstarts_ref[step + 1]).start()
+
+    ws = wstarts_ref[step]
+    win_dma(cur, ws).wait()
+
+    for j in range(3):  # δy pairs in this group (static)
+        for b in range(nb):  # bands (static)
+            cols = row3[j : j + 1, b * 128 : (b + 1) * 128]  # [1, 128]
+            pos_b = cols >> 3
+            bidx = ((i * 3 + g) * 3 + j) * nb + b
+            enc = bstarts_ref[bidx]  # bstart·16-aligned | found-flag (bit 0)
+            any_found = (enc & 1) > 0
+            qs = pl.multiple_of(enc - (enc & 15), 16)
+            bound = bounds_ref[bidx]  # upper bound on max(pos_b) + 1
+            # stacked rows for this pair, per group-section (srow static)
+            srow = j * 3 * cin
+
+            @pl.when(any_found)
+            def _(cols=cols, pos_b=pos_b, qs=qs, bound=bound, srow=srow, b=b):
+                q_ids = jax.lax.broadcasted_iota(jnp.int32, (band, 128), 0)
+                off = jnp.clip(qs - ws, 0, chunkw - band)
+                off = pl.multiple_of(off, 16)
+                in_win = (qs - ws >= 0) & (qs - ws <= chunkw - band)
+                oh = (q_ids == (pos_b - qs)).astype(jnp.bfloat16)
+                wband = wbuf[cur, pl.ds(off, band), :]
+                gacc[:] = jax.lax.dot_general(
+                    wband, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+                @pl.when(jnp.logical_not(in_win))
+                def _():
+                    gacc[:] = jnp.zeros_like(gacc)
+
+                # escape hatch: band outside the window or spanning > BAND
+                novf = (bound - qs + band - 1) // band
+                start_k = jnp.where(in_win, 1, 0)
+
+                def ovf(k, _):
+                    rs = pl.multiple_of(qs + k * band, 16)
+                    dma = pltpu.make_async_copy(
+                        feat_ref.at[pl.ds(rs, band), :], obuf, osem
+                    )
+                    dma.start()
+                    dma.wait()
+                    oh2 = (q_ids == (pos_b - rs)).astype(jnp.bfloat16)
+                    gacc[:] += jax.lax.dot_general(
+                        obuf[:], oh2, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return 0
+
+                jax.lax.fori_loop(start_k, novf, ovf, 0)
+
+                gm, g0, gp = _taps_band(gacc, cols, cin)
+                sl = pl.ds(b * 128, 128)
+                stacked[srow : srow + cin, sl] = gm
+                stacked[srow + cin : srow + 2 * cin, sl] = g0
+                stacked[srow + 2 * cin : srow + 3 * cin, sl] = gp
+
+            @pl.when(jnp.logical_not(any_found))
+            def _(srow=srow, b=b):
+                stacked[srow : srow + 3 * cin, b * 128 : (b + 1) * 128] = (
+                    jnp.zeros((3 * cin, 128), jnp.bfloat16)
+                )
+
+
 # ---------------------------------------------------------------------------
 # forward / d_features kernel:  out[v] = Σ_p Σ_δ found·f[row(p,δ,v)] @ W[p,δ]
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(bstarts_ref, packed_ref, w_ref, feat_ref, out_ref,
-                bbuf, obuf, gacc, bsems, osem, *, cin: int, band: int,
-                n_pairs: int, n_bands: int):
+def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, packed_ref, w_ref,
+                feat_ref, out_ref, wbuf, obuf, gacc, stacked, wsems, osem, *,
+                cin: int, band: int, chunkw: int, c3p: int, n_steps: int):
     i = pl.program_id(0)
-    p = pl.program_id(1)
+    g = pl.program_id(1)
     tile = out_ref.shape[0]
 
-    @pl.when(p == 0)
+    @pl.when(g == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    row = packed_ref[pl.ds(p, 1), pl.ds(pl.multiple_of(i * tile, 128), tile)]
-    _gather_banded(bstarts_ref, row, feat_ref, gacc, bbuf, obuf,
-                   bsems, osem, p=p, i=i, n_pairs=n_pairs, tile=tile,
-                   band=band, n_bands=n_bands)
-    gm, g0, gp = _taps(gacc, row, cin)
+    row3 = packed_ref[0]  # [3, T] (block = this group's 3 pair rows)
+    _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
+                  stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
+                  n_steps=n_steps, tile=tile, band=band, chunkw=chunkw,
+                  cin=cin, c3p=c3p)
 
-    def dg(a, w):  # [cin, T] x [cin, O] -> [T, O]
-        return jax.lax.dot_general(
-            a, w.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    out_ref[:] += dg(gm, w_ref[p, 0]) + dg(g0, w_ref[p, 1]) + dg(gp, w_ref[p, 2])
+    wsl = pl.multiple_of(g * 9 * cin, 16)
+    out_ref[:] += jax.lax.dot_general(
+        stacked[:], w_ref[pl.ds(wsl, 9 * cin), :], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [T, O]
 
 
 def _feat3(features: jax.Array, vpad: int) -> jax.Array:
@@ -194,141 +216,164 @@ def _feat3(features: jax.Array, vpad: int) -> jax.Array:
 
 
 def _prep(packed, v, tile):
-    """Pad the packed rulebook to a tile multiple and compute per-band
-    window starts in band order (tiles outer, pairs middle, bands inner)."""
+    """Pad the packed rulebook to a tile multiple; compute per-(tile, group)
+    window starts and per-(tile, group, pair, band) band starts (16-aligned).
+    """
     nP = packed.shape[0]
     vt = _rup(v, tile)
     if vt != v:
         packed = jnp.pad(packed, ((0, 0), (0, vt - v)), constant_values=v * 8)
-    bstarts = ((packed[:, ::128] >> 3) // 8) * 8  # [P, vt/128]
     nb = tile // 128
-    # [P, nT, nb] -> [nT, P, nb] -> flat band order
-    bstarts = bstarts.reshape(nP, vt // tile, nb).transpose(1, 0, 2).reshape(-1)
-    return packed, bstarts.astype(jnp.int32), vt
+    nt = vt // tile
+    pos128 = (packed[:, ::128] >> 3)  # [P, vt/128]
+    bstarts = (pos128 // 16) * 16  # [P, nT*nb]
+    # per-band found flag (bit 0 of the encoded start)
+    flags = (
+        jnp.max((packed & 7).reshape(packed.shape[0], -1, 128), axis=-1) > 0
+    ).astype(jnp.int32)  # [P, nT*nb]
+    enc = bstarts + flags
+    # upper bound on max(pos) within each band: next band's first pos + 16
+    nxt = jnp.concatenate(
+        [pos128[:, 1:], jnp.full((packed.shape[0], 1), vt, jnp.int32)], axis=1
+    )
+    bounds = nxt + 16
+    # band order (i, g, j, b): [P=3*3, nT, nb] -> [nT, 3, 3, nb]
+    def reorder(a):
+        return (
+            a.reshape(3, 3, nt, nb).transpose(2, 0, 1, 3).reshape(-1)
+        ).astype(jnp.int32)
+
+    enc, bounds = reorder(enc), reorder(bounds)
+    # window start per (tile, group) = min over the 3 pairs' tile starts
+    tstart = pos128[:, ::nb].reshape(3, 3, nt)  # [g, j, nT]
+    wstarts = ((jnp.min(tstart, axis=1) // 16) * 16).T.reshape(-1)  # [nT*3]
+    # [3 groups, 3 pairs, vt] so the kernel can block-load one group's rows
+    packed = packed.reshape(3, 3, vt)
+    return packed, wstarts.astype(jnp.int32), enc, bounds, vt
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "band"))
+@functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
 def fused_gather_gemm(
     features: jax.Array,  # [V, C]
-    packed: jax.Array,  # [P, V] int32 packed rulebook (pos monotone per pair)
-    weights: jax.Array,  # [P, 3, C, O]
+    packed: jax.Array,  # [P=9, V] int32 packed rulebook (pos monotone/pair)
+    weights: jax.Array,  # [27*C, O] rows ordered (pair, tap, channel)
     *,
     tile: int = TILE,
     band: int = BAND,
+    wslack: int = WSLACK,
 ) -> jax.Array:
     """out [V, O] f32 = the rule9 sparse-conv contraction, fused in Pallas."""
     v, cin = features.shape
-    nP, _, _, cout = weights.shape
-    packed, bstarts, vt = _prep(packed, v, tile)
-    feat3 = _feat3(features, v + 2 * band)
+    cout = weights.shape[1]
+    chunkw = tile + wslack
+    packed, wstarts, bstarts, bounds, vt = _prep(packed, v, tile)
+    feat3 = _feat3(features, v + chunkw + 2 * band + 32)
     c3p = feat3.shape[1]
-    n_bands = (vt // 128) * nP
+    n_steps = (vt // tile) * 3
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(vt // tile, nP),
+        num_scalar_prefetch=3,
+        grid=(vt // tile, 3),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed rulebook, whole
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole array
+            pl.BlockSpec((1, 3, tile), lambda i, g, s1, s2, s3: (g, 0, i)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [27C, O]
             pl.BlockSpec(memory_space=pl.ANY),  # feat3 stays in HBM
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i, p, s: (i, 0)),
+        out_specs=pl.BlockSpec((tile, cout), lambda i, g, s1, s2, s3: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((DEPTH, band, c3p), jnp.bfloat16),
+            pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
             pltpu.VMEM((band, c3p), jnp.bfloat16),
-            pltpu.VMEM((c3p, tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((c3p, 128), jnp.float32),
+            pltpu.VMEM((9 * cin, tile), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cin=cin, band=band, n_pairs=nP,
-                          n_bands=n_bands),
+        functools.partial(_fwd_kernel, cin=cin, band=band, chunkw=chunkw,
+                          c3p=c3p, n_steps=n_steps),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((vt, cout), jnp.float32),
         interpret=_INTERPRET,
-    )(bstarts, packed, weights, feat3)
+    )(wstarts, bstarts, bounds, packed, weights.astype(jnp.bfloat16), feat3)
     return out[:v]
 
 
 # ---------------------------------------------------------------------------
-# dW kernel:  dW[p] = Σ_tiles stacked(p, tile)ᵀ @ g[tile]
+# dW kernel:  dW = Σ_tiles stacked(tile) @ g(tile)
 # ---------------------------------------------------------------------------
 
 
-def _dw_kernel(bstarts_ref, packed_ref, g_ref, feat_ref, dw_ref,
-               bbuf, obuf, gacc, bsems, osem, *, cin: int, band: int,
-               n_pairs: int, n_bands: int):
+def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, packed_ref, g_ref,
+               feat_ref, dw_ref, wbuf, obuf, gacc, stacked, wsems, osem, *,
+               cin: int, band: int, chunkw: int, c3p: int, n_steps: int):
     i = pl.program_id(0)
-    p = pl.program_id(1)
+    g = pl.program_id(1)
     tile = g_ref.shape[0]
 
-    @pl.when((i == 0) & (p == 0))
+    @pl.when((i == 0) & (g == 0))
     def _():
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
-    row = packed_ref[pl.ds(p, 1), pl.ds(pl.multiple_of(i * tile, 128), tile)]
-    _gather_banded(bstarts_ref, row, feat_ref, gacc, bbuf, obuf,
-                   bsems, osem, p=p, i=i, n_pairs=n_pairs, tile=tile,
-                   band=band, n_bands=n_bands)
-    gm, g0, gp = _taps(gacc, row, cin)
-    gout = g_ref[:].astype(jnp.bfloat16)  # [T, O]
+    row3 = packed_ref[0]  # [3, T]
+    _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
+                  stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
+                  n_steps=n_steps, tile=tile, band=band, chunkw=chunkw,
+                  cin=cin, c3p=c3p)
 
-    def dgw(a):  # [cin, T] x [T, O] -> [cin, O]
-        return jax.lax.dot_general(
-            a, gout, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    dw_ref[p, 0] += dgw(gm)
-    dw_ref[p, 1] += dgw(g0)
-    dw_ref[p, 2] += dgw(gp)
+    wsl = pl.multiple_of(g * 9 * cin, 16)
+    dw_ref[pl.ds(wsl, 9 * cin), :] += jax.lax.dot_general(
+        stacked[:], g_ref[:].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [9C, O]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "band"))
+@functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
 def fused_gather_dw(
     features: jax.Array,  # [V, C]
-    packed: jax.Array,  # [P, V] int32
+    packed: jax.Array,  # [9, V] int32
     g: jax.Array,  # [V, O] upstream grad (pre-masked by out_valid)
     *,
     tile: int = TILE,
     band: int = BAND,
+    wslack: int = WSLACK,
 ) -> jax.Array:
-    """dW [P, 3, C, O] f32 for the rule9 contraction."""
+    """dW [27*C, O] f32 for the rule9 contraction (row order (pair, tap, c))."""
     v, cin = features.shape
-    nP = packed.shape[0]
     cout = g.shape[1]
-    packed, bstarts, vt = _prep(packed, v, tile)
+    chunkw = tile + wslack
+    packed, wstarts, bstarts, bounds, vt = _prep(packed, v, tile)
     if vt != v:
         g = jnp.pad(g, ((0, vt - v), (0, 0)))
-    feat3 = _feat3(features, v + 2 * band)
+    feat3 = _feat3(features, v + chunkw + 2 * band + 32)
     c3p = feat3.shape[1]
-    n_bands = (vt // 128) * nP
+    n_steps = (vt // tile) * 3
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(vt // tile, nP),
+        num_scalar_prefetch=3,
+        grid=(vt // tile, 3),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # packed rulebook, whole
-            pl.BlockSpec((tile, cout), lambda i, p, s: (i, 0)),
+            pl.BlockSpec((1, 3, tile), lambda i, g, s1, s2, s3: (g, 0, i)),
+            pl.BlockSpec((tile, cout), lambda i, g, s1, s2, s3: (i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((nP, 3, cin, cout), lambda i, p, s: (0, 0, 0, 0)),
+        out_specs=pl.BlockSpec((27 * cin, cout), lambda i, g, s1, s2, s3: (0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((DEPTH, band, c3p), jnp.bfloat16),
+            pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
             pltpu.VMEM((band, c3p), jnp.bfloat16),
-            pltpu.VMEM((c3p, tile), jnp.float32),
-            pltpu.SemaphoreType.DMA((DEPTH,)),
+            pltpu.VMEM((c3p, 128), jnp.float32),
+            pltpu.VMEM((9 * cin, tile), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, cin=cin, band=band, n_pairs=nP,
-                          n_bands=n_bands),
+        functools.partial(_dw_kernel, cin=cin, band=band, chunkw=chunkw,
+                          c3p=c3p, n_steps=n_steps),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nP, 3, cin, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
         interpret=_INTERPRET,
-    )(bstarts, packed, g, feat3)
+    )(wstarts, bstarts, bounds, packed, g, feat3)
     return dw
 
 
@@ -339,32 +384,31 @@ def fused_gather_dw(
 
 def subm_conv9(
     features: jax.Array,  # [V, C]
-    packed: jax.Array,  # [P, V] int32
-    weights: jax.Array,  # [K = P·3, C, O] in (pair, δx) raster order
+    packed: jax.Array,  # [9, V] int32
+    weights: jax.Array,  # [K = 27, C, O] in (pair, δx) raster order
     out_valid: jax.Array,  # [V] bool
 ) -> jax.Array:
     """Fused SubM rule9 conv, out [V, O].
 
     `weights` uses the same [K, C, O] layout `sparse.gather_gemm9` takes.
-    Channels are padded to a multiple of 8 (sublane-aligned tap slices).
+    Channels are padded to a multiple of 16 (bf16 sublane-aligned tap
+    blocks in the stacked gather buffer).
 
     Backward: d_features is ANOTHER fused_gather_gemm with jointly flipped
     (pair, tap) weights (the 27-raster reversal, identical to
     `sparse.gather_gemm9`'s bwd); dW is the dedicated dW kernel.
     """
     k3, cin0, cout = weights.shape
-    nP = k3 // 3
-    cin = _rup(cin0, 8)
+    cin = _rup(cin0, 16)
     if cin != cin0:
         features = jnp.pad(features, ((0, 0), (0, cin - cin0)))
         weights = jnp.pad(weights, ((0, 0), (0, cin - cin0), (0, 0)))
 
     @jax.custom_vjp
     def f(feats, w):
-        wp = w.reshape(nP, 3, cin, cout)
-        return fused_gather_gemm(feats, packed, wp) * out_valid[:, None].astype(
-            jnp.float32
-        )
+        return fused_gather_gemm(
+            feats, packed, w.reshape(k3 * cin, cout)
+        ) * out_valid[:, None].astype(jnp.float32)
 
     def fwd(feats, w):
         return f(feats, w), (feats, w)
@@ -374,17 +418,15 @@ def subm_conv9(
         g = g * out_valid[:, None].astype(g.dtype)
         # full 27-raster reversal = reverse pairs AND taps jointly
         w_flip = jnp.swapaxes(w[::-1], 1, 2)  # [K, O, C]
-        wf = w_flip.reshape(nP, 3, cout, cin)
-        d_feats = fused_gather_gemm(g.astype(jnp.float32), packed, wf).astype(
-            feats.dtype
-        )
+        d_feats = fused_gather_gemm(
+            g.astype(jnp.float32), packed, w_flip.reshape(k3 * cout, cin)
+        ).astype(feats.dtype)
         dw = fused_gather_dw(feats, packed, g.astype(jnp.float32))
         dw = dw.reshape(k3, cin, cout).astype(w.dtype)
         return d_feats, dw
 
     f.defvjp(fwd, bwd)
-    out = f(features, weights)
-    return out
+    return f(features, weights)
 
 
 # ---------------------------------------------------------------------------

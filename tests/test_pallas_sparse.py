@@ -100,7 +100,7 @@ def test_tile_padding_and_overflow_path():
     packed = PK.build_monotone_rule9(st, 3)
     # band=16 forces the overflow loop (spans of 100 rows >> 16)
     got = PK.fused_gather_gemm(
-        st.features, packed, w.reshape(9, 3, 4, 4), tile=128, band=16
+        st.features, packed, w.reshape(27 * 4, 4), tile=128, band=16
     )
     S.set_compute_dtype(jnp.float32)
     try:
