@@ -247,6 +247,28 @@ class DefaultTrainer:
             path = self.config.model.weights
         if not path:
             return
+        if path.endswith((".pth", ".pkl")):
+            # torch / d2 weight import (reference `checkpoint.py:58-157`,
+            # `d2_model_loading.py`): backbone init, not a resume point
+            from efg_tpu.utils.torch_import import (
+                import_torchvision_resnet,
+                load_state_dict,
+            )
+
+            sd = load_state_dict(path)
+            state = jax.device_get(self.state)
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            prefix = self.config.model.get("weights_prefix", "backbone")
+            variables, n, skipped = import_torchvision_resnet(sd, variables, prefix)
+            logger.info(
+                f"Imported {n} tensors from {path} (prefix '{prefix}'); "
+                f"skipped {len(skipped)}: {skipped[:8]}"
+            )
+            state = state.replace(
+                params=variables["params"], batch_stats=variables["batch_stats"]
+            )
+            self.state = replicate_tree(state, self.mesh)
+            return
         abstract = jax.device_get(self.state)
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path), abstract)

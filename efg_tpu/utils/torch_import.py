@@ -83,3 +83,77 @@ def assign_into_tree(tree: Dict[str, Any], path: str, value: np.ndarray) -> bool
         return False
     cur[leaf] = value.astype(np.asarray(cur[leaf]).dtype)
     return True
+
+
+# ---------------------------------------------------------------------------
+# torchvision / d2 ResNet name mapping (reference `d2_model_loading.py:11` —
+# 289 LoC of detectron2 name conversion; here the target is the flax ResNet
+# in `modeling/backbones/resnet.py`)
+# ---------------------------------------------------------------------------
+
+def _resnet_rename(key: str) -> str:
+    """torchvision resnet key → flax ResNet tree path (without leaf kind).
+
+    conv1/bn1 → stem; layer{i}.{b} → res{i+1}_block{b}; conv{j}/bn{j} →
+    conv{j}/norm{j}; downsample.0/.1 → shortcut/shortcut_norm.
+    """
+    if key.startswith("backbone."):
+        key = key[len("backbone."):]
+    if key.startswith("conv1."):
+        return "stem_conv1"
+    if key.startswith("bn1."):
+        return "stem_norm"
+    if key.startswith("layer"):
+        parts = key.split(".")
+        stage = int(parts[0][len("layer"):]) + 1
+        block = parts[1]
+        rest = parts[2]
+        base = f"res{stage}_block{block}"
+        if rest.startswith("conv"):
+            return f"{base}.conv{rest[4:]}"
+        if rest.startswith("bn"):
+            return f"{base}.norm{rest[2:]}"
+        if rest == "downsample":
+            which = parts[3]
+            return f"{base}.shortcut" if which == "0" else f"{base}.shortcut_norm"
+    return ""
+
+
+def import_torchvision_resnet(
+    sd: Dict[str, np.ndarray], variables: Dict[str, Any], prefix: str = ""
+) -> Tuple[Dict[str, Any], int, list]:
+    """Load a torchvision-style ResNet state dict into flax ResNet
+    variables (params + batch_stats), converting layouts.
+
+    `prefix` locates the ResNet inside a larger param tree (e.g.
+    "backbone"). Returns (new_variables, n_assigned, skipped_keys).
+    """
+    import copy
+
+    variables = copy.deepcopy(
+        {k: jax_tree_to_numpy(v) for k, v in variables.items()}
+    )
+    n, skipped = 0, []
+    for key, val in strip_prefix(sd).items():
+        if key.startswith("fc."):
+            continue
+        base = _resnet_rename(key)
+        if not base:
+            skipped.append(key)
+            continue
+        kind, arr = convert_tensor(key, val)
+        coll = "batch_stats" if kind in ("mean", "var") else "params"
+        path = f"{prefix}.{base}.{kind}" if prefix else f"{base}.{kind}"
+        if assign_into_tree(variables.get(coll, {}), path, arr):
+            n += 1
+        else:
+            skipped.append(key)
+    return variables, n, skipped
+
+
+def jax_tree_to_numpy(tree):
+    """Deep-copy a (possibly frozen) param tree into plain nested dicts of
+    numpy arrays so it can be mutated in place."""
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        return {k: jax_tree_to_numpy(v) for k, v in tree.items()}
+    return np.asarray(tree)
