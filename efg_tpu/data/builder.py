@@ -117,6 +117,17 @@ def collate_fixed(samples: List, max_gt: int) -> Dict[str, Any]:
             batch["det_boxes"] = np.stack(det_b)
             batch["det_scores"] = np.stack(det_s)
             batch["det_mask"] = np.stack(det_m)
+        anno0 = samples[0][1].get("annotations") or {}
+        if "traj_hist" in anno0:
+            # trajectory fields for the motion-pretrain regime
+            for key in ("traj_hist", "traj_mask", "future_offsets", "future_mask"):
+                rows = []
+                for _, info in samples:
+                    a = np.asarray(info["annotations"][key])
+                    pad = np.zeros((max_gt,) + a.shape[1:], a.dtype)
+                    pad[: min(len(a), max_gt)] = a[:max_gt]
+                    rows.append(pad)
+                batch[key] = np.stack(rows)
     elif "image" in first:
         imgs, gtb, gtc, gtm, masks = [], [], [], [], []
         for data, info in samples:

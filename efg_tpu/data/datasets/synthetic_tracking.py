@@ -30,6 +30,9 @@ class SyntheticTrackingDataset(BaseDataset):
         self.num_points = int(d.get("points_per_frame", 4096))
         self.max_objects = int(d.get("max_objects", 6))
         self.det_noise = float(d.get("det_noise", 0.2))
+        self.with_trajectory = bool(d.get("with_trajectory", False))
+        self.traj_length = int(d.get("traj_length", 10))
+        self.future_frames = int(d.get("future_frames", 10))
         task = config.get("task", "train")
         self.transforms = build_processors(d.processors[task if task in d.processors else "val"])
         self.sequence_ids = [
@@ -100,5 +103,27 @@ class SyntheticTrackingDataset(BaseDataset):
             },
             "sweeps": [],
         }
+        if self.with_trajectory:
+            # constant-velocity history (current-relative boxes, reference
+            # motionpred input) and future center offsets
+            k = len(gt_boxes)
+            th, tf = self.traj_length, self.future_frames
+            steps = np.arange(1, th + 1, dtype=np.float32)  # frames back
+            hist = np.zeros((k, th, 8), np.float32)
+            hist[..., 0:2] = -vels[:, None, :] * 0.1 * steps[None, :, None]
+            hist[..., 3:6] = dims[:, None, :]
+            hist[..., 6] = 0.0  # sin of relative yaw (constant heading)
+            hist[..., 7] = 1.0  # cos
+            hist_mask = steps[None, :] <= f  # frames before seq start invalid
+            hist_mask = np.broadcast_to(hist_mask, (k, th)).copy()
+            fsteps = np.arange(1, tf + 1, dtype=np.float32)
+            fut = np.zeros((k, tf, 3), np.float32)
+            fut[..., 0:2] = vels[:, None, :] * 0.1 * fsteps[None, :, None]
+            fut_mask = (f + fsteps[None, :]) < self.frames_per_seq
+            fut_mask = np.broadcast_to(fut_mask, (k, tf)).copy()
+            info["annotations"]["traj_hist"] = hist
+            info["annotations"]["traj_mask"] = hist_mask
+            info["annotations"]["future_offsets"] = fut
+            info["annotations"]["future_mask"] = fut_mask
         points, info = self._apply_transforms(points, info)
         return points, info

@@ -40,6 +40,9 @@ class ModelDef:
     ema_init    — params → ema_params (enables the EMA shadow)
     ema_update  — (ema_params, new_params) → ema_params, run after each
                   optimizer step inside the jitted update
+    init_params — optional params → params hook run once after module.init
+                  (e.g. grafting a pretrained motion encoder — the analog
+                  of the reference's `dataset.motion_model` load)
     """
 
     def __init__(
@@ -51,6 +54,7 @@ class ModelDef:
         custom_loss: Optional[Callable] = None,
         ema_init: Optional[Callable] = None,
         ema_update: Optional[Callable] = None,
+        init_params: Optional[Callable] = None,
     ):
         self.module = module
         self.apply_args = apply_args
@@ -59,3 +63,4 @@ class ModelDef:
         self.custom_loss = custom_loss
         self.ema_init = ema_init
         self.ema_update = ema_update
+        self.init_params = init_params

@@ -110,6 +110,8 @@ class DefaultTrainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if getattr(self.model_def, "init_params", None):
+            params = self.model_def.init_params(params)
         opt_state = self.tx.init(params)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
         logger.info(f"Model parameters: {n_params / 1e6:.2f}M")

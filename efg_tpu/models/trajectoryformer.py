@@ -281,3 +281,87 @@ def det_predict(outputs, batch):
         labels=jnp.where(batch["det_mask"], batch["gt_classes"], 0),
         valid=batch["det_mask"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Motion-prediction pretraining (reference `trajectoryformer.motionpred`:
+# `motionpred.py` — MotionEncoder trained to predict future box centers;
+# the tracking model then loads this encoder, `config.yaml
+# dataset.motion_model`)
+# ---------------------------------------------------------------------------
+
+
+class MotionPrediction(nn.Module):
+    """Pretrain regime: encode each object's history trajectory and predict
+    its future center offsets (reference `MotionPrediction.velboxembed`:
+    `MotionEncoder(input_dim, hidden, out_channels=num_future*3)`).
+
+    The encoder submodule is named `motion_encoder` so its parameters graft
+    directly into `TrajectoryFormer.core.motion_encoder` at handoff.
+    """
+
+    d_model: int = 128
+    num_future: int = 10
+
+    @nn.compact
+    def __call__(self, traj, traj_mask, train: bool = True):
+        """traj [B, N, T, 8] history boxes (current-relative), traj_mask
+        [B, N, T] → future center offsets [B, N, F, 3]."""
+        b, n = traj.shape[:2]
+        enc = MotionEncoder(self.d_model, name="motion_encoder")
+        feat = enc(traj.reshape(b * n, *traj.shape[2:]), traj_mask.reshape(b * n, -1))
+        out = nn.Dense(self.num_future * 3, name="future_head",
+                       kernel_init=nn.initializers.zeros)(jax.nn.relu(feat))
+        return out.reshape(b, n, self.num_future, 3)
+
+
+def motion_compute_loss(pred_future, batch):
+    """Smooth-L1 on future center offsets (reference `WeightedSmoothL1Loss`
+    in `motionpred.py`), masked over valid (object, step) slots."""
+    tgt = batch["future_offsets"]  # [B, N, F, 3]
+    mask = batch["future_mask"][..., None]  # [B, N, F, 1]
+    diff = pred_future - tgt
+    ad = jnp.abs(diff)
+    sl1 = jnp.where(ad < 1.0, 0.5 * diff * diff, ad - 0.5)
+    mf = mask.astype(jnp.float32)
+    loss = (sl1 * mf).sum() / jnp.maximum(mf.sum() * 3, 1.0)
+    return dict(loss=loss, loss_motion=loss)
+
+
+def motion_predict(pred_future, batch):
+    """Fixed-shape passthrough so the evaluator pipeline can run."""
+    b, n = pred_future.shape[:2]
+    return dict(
+        box3d=jnp.zeros((b, n, 9), pred_future.dtype),
+        scores=jnp.zeros((b, n)),
+        labels=jnp.zeros((b, n), jnp.int32),
+        valid=jnp.zeros((b, n), bool),
+    )
+
+
+def load_motion_encoder(params, ckpt_path: str):
+    """Graft a pretrained motion encoder (from the motionpred pretrain
+    checkpoint, reference `config.yaml dataset.motion_model`) into the
+    tracking model's `core/motion_encoder` subtree. Returns new params."""
+    import jax as _jax
+    import orbax.checkpoint as ocp
+    import os
+
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(os.path.abspath(ckpt_path))
+    src = restored["params"]["motion_encoder"]
+    params = _jax.tree.map(lambda x: x, params)  # copy
+    tgt = params
+    for k in ("core", "motion_encoder"):
+        tgt = tgt[k]
+
+    def graft(dst, s):
+        for k, v in s.items():
+            if isinstance(v, dict):
+                graft(dst[k], v)
+            else:
+                assert dst[k].shape == v.shape, (k, dst[k].shape, v.shape)
+                dst[k] = v
+
+    graft(tgt, src)
+    return params

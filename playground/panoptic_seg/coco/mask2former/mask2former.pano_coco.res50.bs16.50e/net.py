@@ -1,0 +1,27 @@
+"""Mask2Former synthetic experiment builder."""
+
+import jax
+
+from efg_tpu.engine.train_state import ModelDef
+from efg_tpu.models import mask2former as M2F
+
+
+def build_model(config):
+    mc = config.model.mask2former
+    cfg = {k: v for k, v in dict(mc).items()}
+    module = M2F.Mask2Former(
+        num_classes=int(mc.num_classes), num_queries=int(mc.num_queries),
+        d_model=int(mc.d_model), dec_layers=int(mc.dec_layers),
+        depth=int(mc.depth), freeze_at=int(mc.freeze_at),
+    )
+
+    def apply_args(batch):
+        return dict(images=batch["images"])
+
+    def loss_fn(preds, batch):
+        return M2F.compute_loss(preds, batch, model_cfg=cfg, rng=jax.random.key(0))
+
+    def predict_fn(preds, batch):
+        return M2F.predict_instance(preds, model_cfg=cfg)
+
+    return ModelDef(module, apply_args, loss_fn, predict_fn)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N = 10
+N = 50
 
 
 def timed(name, fn, x, *rest, n=N):
