@@ -11,9 +11,9 @@ mask2former_transformer_decoder.py`, `criterion.py`, `matcher.py`):
   the three scales; cross-attention is masked to each query's current
   predicted mask region
 - set criterion: Hungarian matching + class CE + point-sampled mask BCE +
-  dice (uniform point sampling on TPU — the reference's importance
-  sampling needs data-dependent gather shapes; uniform sampling with the
-  same point budget is the fixed-shape equivalent)
+  dice with PointRend importance sampling (top-k by uncertainty — fixed
+  shapes, so fully jit-able; matcher costs still use a shared uniform
+  point set, as the reference matcher does)
 
 Fixed shapes throughout: static image size, G_max GT instances with masks
 rasterized host-side, K sampled points.
@@ -267,6 +267,43 @@ def _sample_points(masks, points_xy):
     return out
 
 
+def uncertainty_point_coords(
+    rng: jax.Array,
+    coarse_logits: jax.Array,  # [..., H, W] per-pair predicted mask logits
+    *,
+    num_points: int,
+    oversample_ratio: float,
+    importance_sample_ratio: float,
+):
+    """PointRend-style importance sampling, fixed shapes (reference
+    `criterion.get_uncertain_point_coords_with_randomness`): draw
+    num_points·oversample uniform candidates, keep the top
+    importance_ratio·num_points by uncertainty −|logit| of the SAMPLED
+    prediction, top up with fresh uniform points. Returns [..., P, 2]."""
+    lead = coarse_logits.shape[:-2]
+    n_over = int(num_points * oversample_ratio)
+    n_imp = int(num_points * importance_sample_ratio)
+    n_rand = num_points - n_imp
+    r1, r2 = jax.random.split(rng)
+    cand = jax.random.uniform(r1, lead + (n_over, 2))
+
+    def sample_one(m, c):
+        return _sample_points(m, c)
+
+    flat_masks = coarse_logits.reshape((-1,) + coarse_logits.shape[-2:])
+    flat_cand = cand.reshape(-1, n_over, 2)
+    logits = jax.vmap(sample_one)(flat_masks, flat_cand)  # [N, n_over]
+    unc = -jnp.abs(logits)
+    idx = jax.lax.top_k(unc, n_imp)[1]  # [N, n_imp]
+    imp = jnp.take_along_axis(flat_cand, idx[..., None], axis=1)
+    if n_rand > 0:
+        rnd = jax.random.uniform(r2, (flat_cand.shape[0], n_rand, 2))
+        out = jnp.concatenate([imp, rnd], axis=1)
+    else:
+        out = imp
+    return out.reshape(lead + (num_points, 2))
+
+
 def _bce_logits(logits, targets):
     return jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
 
@@ -342,11 +379,25 @@ def compute_loss(
         ce = -jnp.take_along_axis(logp, tgt_cls[..., None], -1)[..., 0]
         loss_ce = (ce * weights).sum() / weights.sum()
 
-        mp = jnp.take_along_axis(pred_pts, a[..., None], axis=1)  # [B, G, K]
+        # importance-sampled point set per matched pair (reference
+        # `loss_masks` + `get_uncertain_point_coords_with_randomness`)
+        matched = jnp.take_along_axis(
+            mask_logits, a[..., None, None], axis=1
+        )  # [B, G, h, w]
+        coords = uncertainty_point_coords(
+            jax.random.fold_in(rng, li + 1), matched,
+            num_points=num_points,
+            oversample_ratio=model_cfg.get("oversample_ratio", 3.0),
+            importance_sample_ratio=model_cfg.get("importance_sample_ratio", 0.75),
+        )  # [B, G, K, 2]
+        coords = jax.lax.stop_gradient(coords)
+        mp = jax.vmap(jax.vmap(_sample_points))(matched, coords)  # [B, G, K]
+        gt_p = jax.vmap(jax.vmap(_sample_points))(gt_masks, coords)
+        gt_p = jax.lax.stop_gradient(gt_p)
         okf = ok[..., None].astype(mp.dtype)
-        loss_bce = (_bce_logits(mp, gt_pts) * okf).sum() / (num_points * num_boxes)
+        loss_bce = (_bce_logits(mp, gt_p) * okf).sum() / (num_points * num_boxes)
         loss_dice = (
-            _dice_loss(jax.nn.sigmoid(mp), gt_pts) * ok.astype(mp.dtype)
+            _dice_loss(jax.nn.sigmoid(mp), gt_p) * ok.astype(mp.dtype)
         ).sum() / num_boxes
 
         sfx = "" if li == d - 1 else f"_{li}"

@@ -80,3 +80,41 @@ def test_instance_and_semantic_inference(m2f_setup):
     sem = M2F.predict_semantic(preds, model_cfg=CFG)
     assert sem.shape == (2, 4, 16, 16)
     assert np.isfinite(np.asarray(sem)).all()
+
+
+def test_importance_sampling_matches_reference_selection():
+    """uncertainty_point_coords vs a numpy replica of the reference
+    `get_uncertain_point_coords_with_randomness` given identical candidate
+    points: the importance-selected coordinates must agree exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efg_tpu.models.mask2former import _sample_points, uncertainty_point_coords
+
+    rs = np.random.RandomState(0)
+    n, h, w = 3, 16, 16
+    num_points, over, ratio = 16, 3.0, 0.75
+    coarse = jnp.asarray(rs.randn(n, h, w).astype(np.float32) * 3)
+
+    rng = jax.random.key(7)
+    got = np.asarray(
+        uncertainty_point_coords(
+            rng, coarse, num_points=num_points, oversample_ratio=over,
+            importance_sample_ratio=ratio,
+        )
+    )
+
+    # numpy replica of the reference, fed the SAME candidates jax drew
+    r1, _ = jax.random.split(rng)
+    n_over = int(num_points * over)
+    cand = np.asarray(jax.random.uniform(r1, (n, n_over, 2)))
+    logits = np.asarray(
+        jax.vmap(lambda m, c: _sample_points(m, c))(coarse, jnp.asarray(cand))
+    )
+    n_imp = int(num_points * ratio)
+    for i in range(n):
+        unc = -np.abs(logits[i])
+        idx = np.argsort(-unc, kind="stable")[:n_imp]
+        want = cand[i][idx]
+        np.testing.assert_allclose(np.sort(got[i, :n_imp], axis=0), np.sort(want, axis=0), rtol=1e-6)
