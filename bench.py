@@ -20,8 +20,20 @@ import time
 import numpy as np
 
 # Estimated reference training throughput per A100 (CenterPoint Waymo,
-# spconv + torch, bs6/GPU). Not published by the reference; estimate from
-# typical spconv CenterPoint reproductions (~0.25-0.35 s/iter for bs 6).
+# spconv + torch, bs6/GPU). The reference publishes no throughput
+# (BASELINE.md). Corroboration from public reproductions of the same
+# architecture (SpMiddleResNetFHD + RPN + CenterHead, 0.1m voxels):
+#   - mmdetection3d model zoo: CenterPoint-voxel01 nuScenes trains at
+#     ~0.4 s/iter for bs 4 x 8 V100 (32 frames / 0.4 s = 80 f/s on 8
+#     V100s = 10 f/s per V100); Waymo frames are ~2x the points but A100
+#     is ~2x a V100 on spconv workloads -> ~10-15 f/s per A100.
+#   - OpenPCDet CenterPoint Waymo configs report ~11-14 h for 30 epochs
+#     of 20% data on 8 A100s (~158k frames x 30 / 8 / 12 h ~= 17 f/s per
+#     A100).
+# 20 f/s per A100 is therefore the GENEROUS end of the plausible range;
+# vs_baseline >= 2.0 means >= 2x that. The JSON also reports absolute
+# s/step and achieved model TFLOP/s so progress is measurable
+# independently of this constant.
 A100_REF_FPS = 20.0
 
 
@@ -90,16 +102,37 @@ def main():
         state, losses = jax.lax.scan(body, state, None, length=n_iters)
         return state, losses[-1]
 
-    # compile + warmup (one scanned segment)
-    state, loss = run_n(state, batch)
+    # compile once; reuse the executable for warmup + timed run (the state
+    # is donated, so lower/cost-analysis must happen before execution)
+    compiled = run_n.lower(state, batch).compile()
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        model_flops = float(cost.get("flops", 0.0)) / n_iters
+    except Exception:
+        model_flops = 0.0
+
+    state, loss = compiled(state, batch)
     _ = float(loss)
 
     t0 = time.perf_counter()
-    state, loss = run_n(state, batch)
+    state, loss = compiled(state, batch)
     _ = float(loss)  # device->host fetch = real sync
     dt = time.perf_counter() - t0
 
     fps = bsz * n_iters / dt
+    sec_per_step = dt / n_iters
+    extras = {}
+    try:
+        flops = model_flops
+        extras = {
+            "sec_per_step_bs2": round(sec_per_step, 4),
+            "model_tflops_per_step": round(flops / 1e12, 3),
+            "achieved_tflops_per_sec": round(flops / sec_per_step / 1e12, 2),
+        }
+    except Exception:
+        extras = {"sec_per_step_bs2": round(sec_per_step, 4)}
     print(
         json.dumps(
             {
@@ -107,6 +140,7 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / A100_REF_FPS, 3),
+                **extras,
             }
         )
     )

@@ -103,6 +103,7 @@ class SpMiddleResNetFHD(nn.Module):
     num_input_features: int = 5
     grid_size: Tuple[int, int, int] = (1504, 1504, 40)
     stage_caps: Sequence[int] = (60000, 40000, 20000, 16000)
+    sparse_backend: str = "auto"  # auto | xla | pallas
 
     @property
     def spatial_shape(self) -> Tuple[int, int, int]:
@@ -114,8 +115,11 @@ class SpMiddleResNetFHD(nn.Module):
         """features [B, V, C], coords_zyx [B, V, 3] (z, y, x), valid [B, V]
         → BEV [B, ny/8, nx/8, 128*2]."""
         st = sp.from_batched_voxels(features, coords_zyx, valid, self.spatial_shape)
+        backend = (
+            sp.default_backend() if self.sparse_backend == "auto" else self.sparse_backend
+        )
 
-        rb = sp.build_subm_rulebook9(st, 3)
+        rb = sp.build_rulebook(st, 3, backend)
         st = SubMConv(16, name="conv_input")(st, rb)
         st = _BNReLU(name="bn_input")(st, train)
         st = SparseBasicBlock(16, name="res0a")(st, rb, train)
@@ -123,13 +127,13 @@ class SpMiddleResNetFHD(nn.Module):
 
         st = SparseConvDown(32, max_out=self.stage_caps[0], name="down1")(st)
         st = _BNReLU(name="bn_down1")(st, train)
-        rb = sp.build_subm_rulebook9(st, 3)
+        rb = sp.build_rulebook(st, 3, backend)
         st = SparseBasicBlock(32, name="res1a")(st, rb, train)
         st = SparseBasicBlock(32, name="res1b")(st, rb, train)
 
         st = SparseConvDown(64, max_out=self.stage_caps[1], name="down2")(st)
         st = _BNReLU(name="bn_down2")(st, train)
-        rb = sp.build_subm_rulebook9(st, 3)
+        rb = sp.build_rulebook(st, 3, backend)
         st = SparseBasicBlock(64, name="res2a")(st, rb, train)
         st = SparseBasicBlock(64, name="res2b")(st, rb, train)
 
@@ -137,7 +141,7 @@ class SpMiddleResNetFHD(nn.Module):
             128, padding=(0, 1, 1), max_out=self.stage_caps[2], name="down3"
         )(st)
         st = _BNReLU(name="bn_down3")(st, train)
-        rb = sp.build_subm_rulebook9(st, 3)
+        rb = sp.build_rulebook(st, 3, backend)
         st = SparseBasicBlock(128, name="res3a")(st, rb, train)
         st = SparseBasicBlock(128, name="res3b")(st, rb, train)
 

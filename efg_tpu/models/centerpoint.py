@@ -54,6 +54,7 @@ class VoxelNet(nn.Module):
     )
     common_heads: Any = (("reg", (2, 2)), ("height", (1, 2)), ("dim", (3, 2)), ("rot", (2, 2)))
     neck_cfg: Any = ()
+    sparse_backend: str = "auto"
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool) -> List[Dict[str, jax.Array]]:
@@ -69,6 +70,7 @@ class VoxelNet(nn.Module):
             num_input_features=self.num_input_features,
             grid_size=grid,
             stage_caps=tuple(self.stage_caps),
+            sparse_backend=self.sparse_backend,
             name="backbone",
         )(feats, coords, valid, train)
         neck_kw = dict(self.neck_cfg)

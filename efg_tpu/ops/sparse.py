@@ -525,6 +525,37 @@ def gather_gemm_strided(features, rulebook, weights, out_valid, *, v_in: int):
     return f(features, weights)
 
 
+class PackedRule9(tuple):
+    """Marker wrapper for the packed monotone Pallas rulebook ([P, V] int32)."""
+
+    __slots__ = ()
+
+    def __new__(cls, packed):
+        return super().__new__(cls, (packed,))
+
+    @property
+    def packed(self):
+        return self[0]
+
+
+def build_rulebook(st: SparseTensor, kernel_size: int = 3, backend: str = "xla"):
+    """Backend-appropriate SubM rulebook: XLA rule9 tuple or the packed
+    monotone [P, V] int32 array the Pallas kernel consumes."""
+    if backend == "pallas":
+        from efg_tpu.ops.pallas import sparse_kernels as PK
+
+        return PackedRule9(PK.build_monotone_rule9(st, kernel_size))
+    return build_subm_rulebook9(st, kernel_size)
+
+
+def default_backend() -> str:
+    """Pallas on real TPU backends; XLA on CPU (tests run the Pallas path
+    separately in interpret mode — too slow for every suite test)."""
+    import jax as _jax
+
+    return "xla" if _jax.default_backend() == "cpu" else "pallas"
+
+
 def subm_conv(
     st: SparseTensor,
     weights: jax.Array,
@@ -533,15 +564,20 @@ def subm_conv(
 ) -> SparseTensor:
     """Submanifold conv: output sites == input sites (reference SubMConv3d).
 
-    `rulebook` may be the 27-format array or the compact rule9 tuple
-    (pos, found); both use scatter-free custom VJPs."""
+    `rulebook` may be the 27-format array, the compact XLA rule9 tuple
+    (pos, found), or the packed monotone [P, V] int32 array (Pallas fused
+    kernel); all use scatter-free custom VJPs."""
     if rulebook is None:
         if weights.shape[0] == 27:
             rulebook = build_subm_rulebook9(st, 3)
         else:
             k = round(weights.shape[0] ** (1 / 3))
             rulebook = build_subm_rulebook(st, k)
-    if isinstance(rulebook, tuple):
+    if isinstance(rulebook, PackedRule9):
+        from efg_tpu.ops.pallas import sparse_kernels as PK
+
+        out = PK.subm_conv9(st.features, rulebook.packed, weights, st.valid)
+    elif isinstance(rulebook, tuple):
         out = gather_gemm9(st.features, rulebook[0], rulebook[1], weights, st.valid)
     else:
         out = gather_gemm(
