@@ -142,6 +142,7 @@ class DefaultTrainer:
                 preds, mutated = model_def.module.apply(
                     {"params": params, "batch_stats": state.batch_stats},
                     **kwargs, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
                 )
                 losses = model_def.loss_fn(preds, batch)
                 return losses["loss"], (losses, mutated.get("batch_stats", state.batch_stats))

@@ -72,25 +72,45 @@ class WindowAttention(nn.Module):
         return nn.Dense(self.dim, kernel_init=_trunc, name="proj")(out)
 
 
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference swin.py `drop_path`)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        mask_shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, mask_shape)
+        return x * mask.astype(x.dtype) / keep
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
     window_size: int = 7
     shift: int = 0
     mlp_ratio: float = 4.0
+    drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
         ws = min(self.window_size, h, w)
         shift = self.shift if ws < min(h, w) else 0
 
+        # pad to window multiples (reference pads with F.pad, crops after)
+        hp, wp = -(-h // ws) * ws, -(-w // ws) * ws
+
         shortcut = x
         x = nn.LayerNorm(name="norm1")(x)
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
-            # attention mask for wrapped windows
-            img_mask = np.zeros((1, h, w, 1), np.float32)
+            # attention mask for wrapped windows (built over the padded map)
+            img_mask = np.zeros((1, hp, wp, 1), np.float32)
             cnt = 0
             for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
                 for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -103,15 +123,17 @@ class SwinBlock(nn.Module):
 
         windows = window_partition(x, ws)
         attended = WindowAttention(self.dim, self.num_heads, ws, name="attn")(windows, attn_mask)
-        x = window_reverse(attended, ws, h, w)
+        x = window_reverse(attended, ws, hp, wp)
         if shift > 0:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
-        x = shortcut + x
+        x = x[:, :h, :w]
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = shortcut + dp(x, train)
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc, name="fc1")(y)
         y = nn.Dense(self.dim, kernel_init=_trunc, name="fc2")(jax.nn.gelu(y))
-        return x + y
+        return x + dp(y, train)
 
 
 class PatchMerging(nn.Module):
@@ -120,6 +142,9 @@ class PatchMerging(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
+        if h % 2 or w % 2:  # reference pads odd maps before merging
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, h // 2, w // 2, 4 * c)
         x = nn.LayerNorm(name="norm")(x)
@@ -134,6 +159,7 @@ class SwinTransformer(nn.Module):
     num_heads: Sequence[int] = (3, 6, 12, 24)
     window_size: int = 7
     patch_size: int = 4
+    drop_path_rate: float = 0.0  # reference M2F-Swin config: 0.3
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
 
     @nn.compact
@@ -144,15 +170,22 @@ class SwinTransformer(nn.Module):
         )(images)
         x = nn.LayerNorm(name="patch_norm")(x)
 
+        # linear stochastic-depth schedule over the flattened block index
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
+
         outputs: Dict[str, jax.Array] = {}
         dim = self.embed_dim
+        blk_i = 0
         for stage, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             for blk in range(depth):
                 x = SwinBlock(
                     dim, heads, self.window_size,
                     shift=0 if blk % 2 == 0 else self.window_size // 2,
+                    drop_path=dpr[blk_i],
                     name=f"stage{stage}_block{blk}",
-                )(x)
+                )(x, train)
+                blk_i += 1
             name = f"res{stage + 2}"
             if name in self.out_features:
                 outputs[name] = nn.LayerNorm(name=f"out_norm{stage}")(x)

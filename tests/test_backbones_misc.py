@@ -82,3 +82,18 @@ def test_keypoints_heatmap():
     tgt, valid = kp.to_heatmap(boxes, heatmap_size=8)
     assert valid[0, 0] and not valid[0, 1]
     assert tgt[0, 0] == 4 * 8 + 4  # center of the box
+
+
+def test_swin_nondivisible_size_and_drop_path():
+    """Window padding (H, W not multiples of ws) + stochastic depth rng."""
+    from efg_tpu.modeling.backbones.swin import SwinTransformer
+
+    m = SwinTransformer(embed_dim=32, depths=(2, 2), num_heads=(2, 4), window_size=4,
+                        drop_path_rate=0.3, out_features=("res2", "res3"))
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 52, 68, 3).astype(np.float32))
+    v = m.init(jax.random.key(0), x, False)
+    out = m.apply(v, x, False)
+    assert out["res2"].shape == (2, 13, 17, 32)
+    assert out["res3"].shape == (2, 7, 9, 64)  # ceil(13/2), ceil(17/2)... patch merge halves
+    out_t = m.apply(v, x, True, rngs={"dropout": jax.random.key(1)})
+    assert all(np.isfinite(np.asarray(o)).all() for o in out_t.values())
