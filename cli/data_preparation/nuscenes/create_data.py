@@ -49,8 +49,27 @@ def _load_tables(root: str, version: str) -> Dict[str, Dict[str, dict]]:
     return tables
 
 
-def build_infos(root: str, version: str = "v1.0-mini", nsweeps: int = 10):
+def build_infos(
+    root: str,
+    version: str = "v1.0-mini",
+    nsweeps: int = 10,
+    occ: bool = False,
+    seg: bool = False,
+):
+    """occ/seg mirror the reference flags (`create_data.py:252-343`):
+    occ attaches the per-sample occupancy GT path from
+    `occupancy/annotations.json`; seg attaches the lidarseg record."""
     t = _load_tables(root, version)
+
+    occ_ann = None
+    if occ:
+        with open(os.path.join(root, "occupancy", "annotations.json")) as f:
+            occ_ann = json.load(f)["scene_infos"]
+    lidarseg = {}
+    if seg:
+        path = os.path.join(root, version, "lidarseg.json")
+        with open(path) as f:
+            lidarseg = {r["sample_data_token"]: r for r in json.load(f)}
 
     # keyframe LIDAR_TOP sample_data per sample
     lidar_by_sample = {}
@@ -115,6 +134,20 @@ def build_infos(root: str, version: str = "v1.0-mini", nsweeps: int = 10):
             inst = t["instance"][ann["instance_token"]]
             names.append(t["category"][inst["category_token"]]["name"])
 
+        annotations = {
+            "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 9),
+            "gt_names": np.asarray(names),
+        }
+        if occ_ann is not None:
+            scene_name = t["scene"][sample["scene_token"]]["name"]
+            sample_occ = occ_ann.get(scene_name, {}).get(sample["token"])
+            if sample_occ is not None:
+                annotations["occ_path"] = os.path.join(
+                    root, "occupancy", sample_occ["gt_path"]
+                )
+        if sd["token"] in lidarseg:
+            annotations["lidarseg"] = lidarseg[sd["token"]]
+
         infos.append(
             {
                 "sample_token": sample["token"],
@@ -122,10 +155,7 @@ def build_infos(root: str, version: str = "v1.0-mini", nsweeps: int = 10):
                     "data_path": os.path.join(root, sd["filename"]),
                     "sweeps": sweeps,
                 },
-                "annotations": {
-                    "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 9),
-                    "gt_names": np.asarray(names),
-                },
+                "annotations": annotations,
             }
         )
     return infos
@@ -137,8 +167,10 @@ def main():
     p.add_argument("--version", default="v1.0-mini")
     p.add_argument("--nsweeps", type=int, default=10)
     p.add_argument("--split", default="train")
+    p.add_argument("--occ", action="store_true")
+    p.add_argument("--seg", action="store_true")
     args = p.parse_args()
-    infos = build_infos(args.root, args.version, args.nsweeps)
+    infos = build_infos(args.root, args.version, args.nsweeps, occ=args.occ, seg=args.seg)
     out = os.path.join(
         args.root, f"infos_{args.split}_{args.nsweeps:02d}sweeps_withvelo_filterZero.pkl"
     )
