@@ -65,3 +65,36 @@ def test_rotated_giou3d_loss():
     g = jax.grad(lambda x: rotated_giou_3d_loss(x, b).sum())(a)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_pointclouds_packed_view_api():
+    rs = np.random.RandomState(0)
+    pts = [rs.randn(5, 3).astype(np.float32), rs.randn(3, 3).astype(np.float32)]
+    feats = [rs.randn(5, 4).astype(np.float32), rs.randn(3, 4).astype(np.float32)]
+    pc = Pointclouds(pts, features=feats)
+
+    assert pc.points_packed().shape == (8, 3)
+    np.testing.assert_array_equal(pc.packed_to_cloud_idx(), [0]*5 + [1]*3)
+    np.testing.assert_array_equal(pc.cloud_to_packed_first_idx(), [0, 5])
+    # padded_to_packed round-trip
+    flat = pc.points_padded().reshape(-1, 3)[pc.padded_to_packed_idx()]
+    np.testing.assert_allclose(flat, pc.points_packed())
+    np.testing.assert_allclose(pc.features_packed(), np.concatenate(feats))
+
+    moved = pc.offset([1.0, 0.0, 0.0])
+    np.testing.assert_allclose(moved.points_list()[1][:, 0], pts[1][:, 0] + 1.0)
+    assert moved.features_padded() is not None  # aux carries over
+    scaled = pc.scale(2.0)
+    np.testing.assert_allclose(scaled.points_packed(), pc.points_packed() * 2)
+
+    sub = pc.subsample(4)
+    np.testing.assert_array_equal(sub.num_points_per_cloud(), [4, 3])
+    ext = pc.extend(2)
+    assert len(ext) == 4 and ext.num_points_per_cloud()[1] == 5
+    parts = pc.split([1, 1])
+    assert len(parts) == 2 and len(parts[1].points_list()[0]) == 3
+
+    bb = pc.get_bounding_boxes()
+    np.testing.assert_allclose(bb[0, :, 0], pts[0].min(0))
+    inside = pc.inside_box(np.array([[-10, -10, -10], [10, 10, 10]], np.float32))
+    assert inside.all() and inside.shape == (8,)
