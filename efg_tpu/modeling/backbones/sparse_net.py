@@ -47,6 +47,7 @@ class SparseConvDown(nn.Module):
     stride: Tuple[int, int, int] = (2, 2, 2)
     padding: Tuple[int, int, int] = (1, 1, 1)
     max_out: int = 0  # required: output capacity
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor) -> sp.SparseTensor:
@@ -60,6 +61,7 @@ class SparseConvDown(nn.Module):
             stride=self.stride,
             padding=self.padding,
             max_out=self.max_out,
+            backend=self.backend,
         )
 
 
@@ -125,20 +127,21 @@ class SpMiddleResNetFHD(nn.Module):
         st = SparseBasicBlock(16, name="res0a")(st, rb, train)
         st = SparseBasicBlock(16, name="res0b")(st, rb, train)
 
-        st = SparseConvDown(32, max_out=self.stage_caps[0], name="down1")(st)
+        st = SparseConvDown(32, max_out=self.stage_caps[0], backend=backend, name="down1")(st)
         st = _BNReLU(name="bn_down1")(st, train)
         rb = sp.build_rulebook(st, 3, backend)
         st = SparseBasicBlock(32, name="res1a")(st, rb, train)
         st = SparseBasicBlock(32, name="res1b")(st, rb, train)
 
-        st = SparseConvDown(64, max_out=self.stage_caps[1], name="down2")(st)
+        st = SparseConvDown(64, max_out=self.stage_caps[1], backend=backend, name="down2")(st)
         st = _BNReLU(name="bn_down2")(st, train)
         rb = sp.build_rulebook(st, 3, backend)
         st = SparseBasicBlock(64, name="res2a")(st, rb, train)
         st = SparseBasicBlock(64, name="res2b")(st, rb, train)
 
         st = SparseConvDown(
-            128, padding=(0, 1, 1), max_out=self.stage_caps[2], name="down3"
+            128, padding=(0, 1, 1), max_out=self.stage_caps[2], backend=backend,
+            name="down3",
         )(st)
         st = _BNReLU(name="bn_down3")(st, train)
         rb = sp.build_rulebook(st, 3, backend)
@@ -151,6 +154,7 @@ class SpMiddleResNetFHD(nn.Module):
             stride=(2, 1, 1),
             padding=(0, 0, 0),
             max_out=self.stage_caps[3],
+            backend=backend,
             name="extra_conv",
         )(st)
         st = _BNReLU(name="bn_extra")(st, train)

@@ -82,19 +82,31 @@ def _taps_band(gacc, cols, cin):
     return gm, g0 * f0.astype(jnp.bfloat16), gp
 
 
-def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
-                  stacked, wbuf, obuf, gacc, wsems, osem, *,
-                  i, g, n_steps, tile, band, chunkw, cin, c3p):
+def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
+                  feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, *,
+                  i, g, n_steps, tile, band, chunkw, cin, c3p, n_groups=3):
     """Gather the three δy pairs of δz-group `g` for tile `i` and store the
     masked tap blocks into `stacked` (rows ordered (pair, tap, channel)).
 
     row3: [3, T] packed rulebook rows for pairs 3g..3g+2.
     Window for step s=(i·3+g) was DMA'd into wbuf[s%2] by the previous
     step; this step prefetches step s+1's window.
-    """
-    step = i * 3 + g
+
+    The per-band body is BRANCHLESS: each band does ONE [2·band, 128]
+    one-hot matmul against a double-width window slice — rows outside the
+    slice simply miss the one-hot (zero columns), and not-found taps are
+    zeroed by the flag masking in `_taps_band`. Crucially the escape-hatch
+    DMA loop is NOT in the per-band body: a conditional containing a DMA
+    inside the band loop costs ~3µs per band in Mosaic pipeline
+    serialization EVEN WHEN NEVER TAKEN (measured: 7.2 → 2.95 ms/layer at
+    Waymo s0 scale just by removing it). Instead `_prep` precomputes one
+    per-STEP flag saying whether ANY band of the step escapes its slice;
+    the whole fallback pass sits behind that single scalar branch and
+    reruns only the escaping bands (p99+ of steps skip it entirely)."""
+    step = i * n_groups + g
     cur = jax.lax.rem(step, 2)
     nb = tile // 128
+    cover = 2 * band
 
     def win_dma(slot, start):
         start = pl.multiple_of(start, 16)
@@ -113,66 +125,77 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
     ws = wstarts_ref[step]
     win_dma(cur, ws).wait()
 
+    q_ids = jax.lax.broadcasted_iota(jnp.int32, (cover, 128), 0)
+
+    def band_scalars(j, b):
+        bidx = (step * 3 + j) * nb + b
+        enc = bstarts_ref[bidx]  # bstart·16-aligned | found-flag (bit 0)
+        qs = pl.multiple_of(enc - (enc & 15), 16)
+        bound = bounds_ref[bidx]  # upper bound on max(pos_b) + 1
+        return qs, bound
+
+    def store_taps(j, b, cols):
+        gm, g0, gp = _taps_band(gacc, cols, cin)
+        srow = j * 3 * cin
+        sl = pl.ds(b * 128, 128)
+        stacked[srow : srow + cin, sl] = gm
+        stacked[srow + cin : srow + 2 * cin, sl] = g0
+        stacked[srow + 2 * cin : srow + 3 * cin, sl] = gp
+
     for j in range(3):  # δy pairs in this group (static)
         for b in range(nb):  # bands (static)
             cols = row3[j : j + 1, b * 128 : (b + 1) * 128]  # [1, 128]
             pos_b = cols >> 3
-            bidx = ((i * 3 + g) * 3 + j) * nb + b
-            enc = bstarts_ref[bidx]  # bstart·16-aligned | found-flag (bit 0)
-            any_found = (enc & 1) > 0
-            qs = pl.multiple_of(enc - (enc & 15), 16)
-            bound = bounds_ref[bidx]  # upper bound on max(pos_b) + 1
-            # stacked rows for this pair, per group-section (srow static)
-            srow = j * 3 * cin
+            qs, _ = band_scalars(j, b)
 
-            @pl.when(any_found)
-            def _(cols=cols, pos_b=pos_b, qs=qs, bound=bound, srow=srow, b=b):
-                q_ids = jax.lax.broadcasted_iota(jnp.int32, (band, 128), 0)
-                off = jnp.clip(qs - ws, 0, chunkw - band)
-                off = pl.multiple_of(off, 16)
-                in_win = (qs - ws >= 0) & (qs - ws <= chunkw - band)
-                oh = (q_ids == (pos_b - qs)).astype(jnp.bfloat16)
-                wband = wbuf[cur, pl.ds(off, band), :]
-                gacc[:] = jax.lax.dot_general(
-                    wband, oh, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+            off = jnp.clip(qs - ws, 0, chunkw - cover)
+            off = pl.multiple_of(off, 16)
+            # one-hot relative to the slice actually loaded: when the band
+            # escapes the slice, rel falls outside [0, cover) and the
+            # column is zero — no masking branch needed
+            rel = pos_b - (ws + off)
+            oh = (q_ids == rel).astype(jnp.bfloat16)
+            wband = wbuf[cur, pl.ds(off, cover), :]
+            gacc[:] = jax.lax.dot_general(
+                wband, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            store_taps(j, b, cols)
+
+    # rare per-step fallback pass: rerun the bands whose input spread
+    # escaped the double-width in-window slice (flag precomputed in _prep)
+    @pl.when(sflags_ref[step] > 0)
+    def _():
+        for j in range(3):
+            for b in range(nb):
+                cols = row3[j : j + 1, b * 128 : (b + 1) * 128]
+                pos_b = cols >> 3
+                qs, bound = band_scalars(j, b)
+                covered = (qs - ws >= 0) & (qs - ws <= chunkw - cover) & (
+                    bound - qs <= cover
                 )
 
-                @pl.when(jnp.logical_not(in_win))
-                def _():
+                @pl.when(jnp.logical_not(covered))
+                def _(cols=cols, pos_b=pos_b, qs=qs, bound=bound, j=j, b=b):
                     gacc[:] = jnp.zeros_like(gacc)
+                    novf = (bound - qs + cover - 1) // cover
 
-                # escape hatch: band outside the window or spanning > BAND
-                novf = (bound - qs + band - 1) // band
-                start_k = jnp.where(in_win, 1, 0)
+                    def ovf(k, _):
+                        rs = pl.multiple_of(qs + k * cover, 16)
+                        dma = pltpu.make_async_copy(
+                            feat_ref.at[pl.ds(rs, cover), :], obuf, osem
+                        )
+                        dma.start()
+                        dma.wait()
+                        oh2 = (q_ids == (pos_b - rs)).astype(jnp.bfloat16)
+                        gacc[:] += jax.lax.dot_general(
+                            obuf[:], oh2, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        return 0
 
-                def ovf(k, _):
-                    rs = pl.multiple_of(qs + k * band, 16)
-                    dma = pltpu.make_async_copy(
-                        feat_ref.at[pl.ds(rs, band), :], obuf, osem
-                    )
-                    dma.start()
-                    dma.wait()
-                    oh2 = (q_ids == (pos_b - rs)).astype(jnp.bfloat16)
-                    gacc[:] += jax.lax.dot_general(
-                        obuf[:], oh2, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    return 0
-
-                jax.lax.fori_loop(start_k, novf, ovf, 0)
-
-                gm, g0, gp = _taps_band(gacc, cols, cin)
-                sl = pl.ds(b * 128, 128)
-                stacked[srow : srow + cin, sl] = gm
-                stacked[srow + cin : srow + 2 * cin, sl] = g0
-                stacked[srow + 2 * cin : srow + 3 * cin, sl] = gp
-
-            @pl.when(jnp.logical_not(any_found))
-            def _(srow=srow, b=b):
-                stacked[srow : srow + 3 * cin, b * 128 : (b + 1) * 128] = (
-                    jnp.zeros((3 * cin, 128), jnp.bfloat16)
-                )
+                    jax.lax.fori_loop(0, novf, ovf, 0)
+                    store_taps(j, b, cols)
 
 
 # ---------------------------------------------------------------------------
@@ -180,9 +203,10 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, packed_ref, w_ref,
-                feat_ref, out_ref, wbuf, obuf, gacc, stacked, wsems, osem, *,
-                cin: int, band: int, chunkw: int, c3p: int, n_steps: int):
+def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
+                w_ref, feat_ref, out_ref, wbuf, obuf, gacc, stacked, wsems,
+                osem, *, cin: int, band: int, chunkw: int, c3p: int,
+                n_steps: int, n_groups: int = 3):
     i = pl.program_id(0)
     g = pl.program_id(1)
     tile = out_ref.shape[0]
@@ -192,10 +216,10 @@ def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, packed_ref, w_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     row3 = packed_ref[0]  # [3, T] (block = this group's 3 pair rows)
-    _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
-                  stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
+    _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
+                  feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
                   n_steps=n_steps, tile=tile, band=band, chunkw=chunkw,
-                  cin=cin, c3p=c3p)
+                  cin=cin, c3p=c3p, n_groups=n_groups)
 
     wsl = pl.multiple_of(g * 9 * cin, 16)
     out_ref[:] += jax.lax.dot_general(
@@ -215,14 +239,22 @@ def _feat3(features: jax.Array, vpad: int) -> jax.Array:
     return jnp.pad(f3, ((0, vpad - v), (0, _rup(3 * c, 128) - 3 * c)))
 
 
-def _prep(packed, v, tile):
+def _prep(packed, v_pos, tile, band, chunkw):
     """Pad the packed rulebook to a tile multiple; compute per-(tile, group)
-    window starts and per-(tile, group, pair, band) band starts (16-aligned).
-    """
+    window starts, per-(tile, group, pair, band) band starts (16-aligned),
+    and the per-step fallback flags (any band escaping its double-width
+    in-window slice — the kernel's rare slow path).
+
+    `v_pos` = number of INPUT rows (the range of `pos` values; equals the
+    rulebook width for SubM convs, differs for strided convs). Pairs are
+    grouped in threes: P = 3·n_groups (9 for k=3³ convs, 3 for (3,1,1))."""
     nP = packed.shape[0]
+    n_groups = nP // 3
+    assert nP == 3 * n_groups
+    v = packed.shape[1]
     vt = _rup(v, tile)
     if vt != v:
-        packed = jnp.pad(packed, ((0, 0), (0, vt - v)), constant_values=v * 8)
+        packed = jnp.pad(packed, ((0, 0), (0, vt - v)), constant_values=v_pos * 8)
     nb = tile // 128
     nt = vt // tile
     pos128 = (packed[:, ::128] >> 3)  # [P, vt/128]
@@ -234,55 +266,69 @@ def _prep(packed, v, tile):
     enc = bstarts + flags
     # upper bound on max(pos) within each band: next band's first pos + 16
     nxt = jnp.concatenate(
-        [pos128[:, 1:], jnp.full((packed.shape[0], 1), vt, jnp.int32)], axis=1
+        [pos128[:, 1:], jnp.full((packed.shape[0], 1), v_pos, jnp.int32)], axis=1
     )
     bounds = nxt + 16
-    # band order (i, g, j, b): [P=3*3, nT, nb] -> [nT, 3, 3, nb]
+    # band order (i, g, j, b): [P=3·G, nT, nb] -> [nT, G, 3, nb]
     def reorder(a):
         return (
-            a.reshape(3, 3, nt, nb).transpose(2, 0, 1, 3).reshape(-1)
+            a.reshape(n_groups, 3, nt, nb).transpose(2, 0, 1, 3).reshape(-1)
         ).astype(jnp.int32)
 
     enc, bounds = reorder(enc), reorder(bounds)
     # window start per (tile, group) = min over the 3 pairs' tile starts
-    tstart = pos128[:, ::nb].reshape(3, 3, nt)  # [g, j, nT]
-    wstarts = ((jnp.min(tstart, axis=1) // 16) * 16).T.reshape(-1)  # [nT*3]
-    # [3 groups, 3 pairs, vt] so the kernel can block-load one group's rows
-    packed = packed.reshape(3, 3, vt)
-    return packed, wstarts.astype(jnp.int32), enc, bounds, vt
+    tstart = pos128[:, ::nb].reshape(n_groups, 3, nt)  # [g, j, nT]
+    wstarts = ((jnp.min(tstart, axis=1) // 16) * 16).T.reshape(-1)  # [nT*G]
+    # per-step fallback flag: any band with start outside the window or
+    # spread beyond the double-width slice
+    cover = 2 * band
+    qs = (enc.reshape(-1, 3 * nb) // 16) * 16
+    bnd = bounds.reshape(-1, 3 * nb)
+    wsb = wstarts[:, None]
+    esc = (qs < wsb) | (qs > wsb + (chunkw - cover)) | (bnd - qs > cover)
+    sflags = jnp.any(esc, axis=1).astype(jnp.int32)  # [nT*G]
+    # [G groups, 3 pairs, vt] so the kernel can block-load one group's rows
+    packed = packed.reshape(n_groups, 3, vt)
+    return packed, wstarts.astype(jnp.int32), enc, bounds, sflags, vt
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
 def fused_gather_gemm(
-    features: jax.Array,  # [V, C]
-    packed: jax.Array,  # [P=9, V] int32 packed rulebook (pos monotone/pair)
-    weights: jax.Array,  # [27*C, O] rows ordered (pair, tap, channel)
+    features: jax.Array,  # [V_in, C]
+    packed: jax.Array,  # [P=3·G, V_out] int32 packed rulebook (pos monotone/pair)
+    weights: jax.Array,  # [P·3·C, O] rows ordered (pair, tap, channel)
     *,
     tile: int = TILE,
     band: int = BAND,
     wslack: int = WSLACK,
 ) -> jax.Array:
-    """out [V, O] f32 = the rule9 sparse-conv contraction, fused in Pallas."""
-    v, cin = features.shape
+    """out [V_out, O] f32 = the packed-rulebook sparse-conv contraction,
+    fused in Pallas. V_in == V_out for SubM convs; for strided convs the
+    rulebook indexes the input rows from the output sites."""
+    v_in, cin = features.shape
+    v_out = packed.shape[1]
+    n_groups = packed.shape[0] // 3
     cout = weights.shape[1]
     chunkw = tile + wslack
-    packed, wstarts, bstarts, bounds, vt = _prep(packed, v, tile)
-    feat3 = _feat3(features, v + chunkw + 2 * band + 32)
+    packed, wstarts, bstarts, bounds, sflags, vt = _prep(
+        packed, v_in, tile, band, chunkw
+    )
+    feat3 = _feat3(features, v_in + chunkw + 2 * band + 32)
     c3p = feat3.shape[1]
-    n_steps = (vt // tile) * 3
+    n_steps = (vt // tile) * n_groups
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(vt // tile, 3),
+        num_scalar_prefetch=4,
+        grid=(vt // tile, n_groups),
         in_specs=[
-            pl.BlockSpec((1, 3, tile), lambda i, g, s1, s2, s3: (g, 0, i)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [27C, O]
+            pl.BlockSpec((1, 3, tile), lambda i, g, *_: (g, 0, i)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [P·3·C, O]
             pl.BlockSpec(memory_space=pl.ANY),  # feat3 stays in HBM
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i, g, s1, s2, s3: (i, 0)),
+        out_specs=pl.BlockSpec((tile, cout), lambda i, g, *_: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
-            pltpu.VMEM((band, c3p), jnp.bfloat16),
+            pltpu.VMEM((2 * band, c3p), jnp.bfloat16),
             pltpu.VMEM((c3p, 128), jnp.float32),
             pltpu.VMEM((9 * cin, tile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -291,12 +337,13 @@ def fused_gather_gemm(
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, cin=cin, band=band, chunkw=chunkw,
-                          c3p=c3p, n_steps=n_steps),
+                          c3p=c3p, n_steps=n_steps, n_groups=n_groups),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((vt, cout), jnp.float32),
         interpret=_INTERPRET,
-    )(wstarts, bstarts, bounds, packed, weights.astype(jnp.bfloat16), feat3)
-    return out[:v]
+    )(wstarts, bstarts, bounds, sflags, packed,
+      weights.astype(jnp.bfloat16), feat3)
+    return out[:v_out]
 
 
 # ---------------------------------------------------------------------------
@@ -304,9 +351,10 @@ def fused_gather_gemm(
 # ---------------------------------------------------------------------------
 
 
-def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, packed_ref, g_ref,
-               feat_ref, dw_ref, wbuf, obuf, gacc, stacked, wsems, osem, *,
-               cin: int, band: int, chunkw: int, c3p: int, n_steps: int):
+def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
+               g_ref, feat_ref, dw_ref, wbuf, obuf, gacc, stacked, wsems,
+               osem, *, cin: int, band: int, chunkw: int, c3p: int,
+               n_steps: int, n_groups: int = 3):
     i = pl.program_id(0)
     g = pl.program_id(1)
     tile = g_ref.shape[0]
@@ -316,10 +364,10 @@ def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, packed_ref, g_ref,
         dw_ref[:] = jnp.zeros_like(dw_ref)
 
     row3 = packed_ref[0]  # [3, T]
-    _gather_group(wstarts_ref, bstarts_ref, bounds_ref, row3, feat_ref,
-                  stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
+    _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
+                  feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
                   n_steps=n_steps, tile=tile, band=band, chunkw=chunkw,
-                  cin=cin, c3p=c3p)
+                  cin=cin, c3p=c3p, n_groups=n_groups)
 
     wsl = pl.multiple_of(g * 9 * cin, 16)
     dw_ref[pl.ds(wsl, 9 * cin), :] += jax.lax.dot_general(
@@ -330,37 +378,43 @@ def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, packed_ref, g_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
 def fused_gather_dw(
-    features: jax.Array,  # [V, C]
-    packed: jax.Array,  # [9, V] int32
-    g: jax.Array,  # [V, O] upstream grad (pre-masked by out_valid)
+    features: jax.Array,  # [V_in, C]
+    packed: jax.Array,  # [P=3·G, V_out] int32
+    g: jax.Array,  # [V_out, O] upstream grad (pre-masked by out_valid)
     *,
     tile: int = TILE,
     band: int = BAND,
     wslack: int = WSLACK,
 ) -> jax.Array:
-    """dW [27*C, O] f32 for the rule9 contraction (row order (pair, tap, c))."""
-    v, cin = features.shape
+    """dW [P·3·C, O] f32 for the packed contraction (rows (pair, tap, c))."""
+    v_in, cin = features.shape
+    v_out = packed.shape[1]
+    n_groups = packed.shape[0] // 3
     cout = g.shape[1]
     chunkw = tile + wslack
-    packed, wstarts, bstarts, bounds, vt = _prep(packed, v, tile)
-    if vt != v:
-        g = jnp.pad(g, ((0, vt - v), (0, 0)))
-    feat3 = _feat3(features, v + chunkw + 2 * band + 32)
+    packed, wstarts, bstarts, bounds, sflags, vt = _prep(
+        packed, v_in, tile, band, chunkw
+    )
+    if vt != v_out:
+        g = jnp.pad(g, ((0, vt - v_out), (0, 0)))
+    feat3 = _feat3(features, v_in + chunkw + 2 * band + 32)
     c3p = feat3.shape[1]
-    n_steps = (vt // tile) * 3
+    n_steps = (vt // tile) * n_groups
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(vt // tile, 3),
+        num_scalar_prefetch=4,
+        grid=(vt // tile, n_groups),
         in_specs=[
-            pl.BlockSpec((1, 3, tile), lambda i, g, s1, s2, s3: (g, 0, i)),
-            pl.BlockSpec((tile, cout), lambda i, g, s1, s2, s3: (i, 0)),
+            pl.BlockSpec((1, 3, tile), lambda i, g, *_: (g, 0, i)),
+            pl.BlockSpec((tile, cout), lambda i, g, *_: (i, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((27 * cin, cout), lambda i, g, s1, s2, s3: (0, 0)),
+        out_specs=pl.BlockSpec(
+            (3 * n_groups * 3 * cin, cout), lambda i, g, *_: (0, 0)
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
-            pltpu.VMEM((band, c3p), jnp.bfloat16),
+            pltpu.VMEM((2 * band, c3p), jnp.bfloat16),
             pltpu.VMEM((c3p, 128), jnp.float32),
             pltpu.VMEM((9 * cin, tile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
@@ -369,11 +423,11 @@ def fused_gather_dw(
     )
     dw = pl.pallas_call(
         functools.partial(_dw_kernel, cin=cin, band=band, chunkw=chunkw,
-                          c3p=c3p, n_steps=n_steps),
+                          c3p=c3p, n_steps=n_steps, n_groups=n_groups),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((27 * cin, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3 * n_groups * 3 * cin, cout), jnp.float32),
         interpret=_INTERPRET,
-    )(wstarts, bstarts, bounds, packed, g, feat3)
+    )(wstarts, bstarts, bounds, sflags, packed, g, feat3)
     return dw
 
 
@@ -497,3 +551,169 @@ def build_monotone_rule9(st, kernel_size: int = 3) -> jax.Array:
                 + fp.astype(jnp.int32)
             )
     return jnp.stack(rows)  # [P, V] int32
+
+
+def build_monotone_rule_strided(
+    st_in, ob, oz, oy, ox, out_valid, kernel_size, stride, padding
+):
+    """Packed anchor rulebook [kd·kh, V_out] for a strided (generative) conv.
+
+    Output sites are sorted by key, and for fixed (κz, κy) the queried input
+    keys are monotone in the output row (the key map is monotone in the
+    output's (b, oz, oy, ox) lexicographic order), so the same anchor
+    format/kernel as SubM applies: for kw=3 the three κx taps hit input keys
+    (q−1, q, q+1) around the middle-tap query q — the SubM (δx=−1,0,+1)
+    pattern exactly. kw=1 (e.g. the (3,1,1) z-downsample) emits middle-only
+    flags; the caller zero-pads the m/p weight blocks.
+
+    Rows with out-of-grid (κz, κy) or invalid sites keep a monotone `pos`
+    via running-max backfill (the kernel's band/window logic requires
+    monotone positions; flags alone carry correctness).
+    """
+    from efg_tpu.ops import sparse as S
+
+    kd, kh, kw3 = kernel_size
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    assert kw3 in (1, 3)
+    d, h, w = st_in.spatial_shape
+    cap = st_in.capacity
+    cells = S._grid_cells(st_in)
+    use_table = cells <= S.DENSE_GRID_LIMIT
+    table = S._make_index_table(st_in) if use_table else None
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    rows = []
+    for kz in range(kd):
+        for ky in range(kh):
+            iz = oz * sd - pd + kz
+            iy = oy * sh - ph + ky
+            ok_zy = out_valid & (iz >= 0) & (iz < d) & (iy >= 0) & (iy < h)
+            ix_mid = ox * sw - pw + (1 if kw3 == 3 else 0)
+            if kw3 == 3:
+                okm = ok_zy & (ix_mid - 1 >= 0) & (ix_mid - 1 < w)
+                okp = ok_zy & (ix_mid + 1 >= 0) & (ix_mid + 1 < w)
+            else:
+                okm = okp = jnp.zeros_like(ok_zy)
+            ok0 = ok_zy & (ix_mid >= 0) & (ix_mid < w)
+            q0 = ((ob * d + iz) * h + iy) * w + ix_mid
+            q0 = jnp.clip(q0, 0, cells - 1)
+            if use_table:
+                tri = jax.lax.gather(
+                    table, q0[:, None], dnums, slice_sizes=(3,),
+                    mode=jax.lax.GatherScatterMode.CLIP,
+                )  # rows at keys (q0−1, q0, q0+1); table is 1-padded
+                im = jnp.where(okm, tri[:, 0], -1)
+                i0 = jnp.where(ok0, tri[:, 1], -1)
+                ip = jnp.where(okp, tri[:, 2], -1)
+                fm, f0, fp = im >= 0, i0 >= 0, ip >= 0
+                pos = jnp.where(
+                    f0, i0, jnp.where(fp, ip, jnp.where(fm, im + 1, -1))
+                )
+                pos = jnp.maximum(jax.lax.cummax(pos), 0)
+            else:
+                qq = jnp.where(ok_zy, q0, -1)
+                pos_raw = jnp.searchsorted(st_in.keys, q0, side="left").astype(
+                    jnp.int32
+                )
+                posc = jnp.minimum(pos_raw, cap - 1)
+                f0 = (st_in.keys[posc] == q0) & ok0
+                pm = jnp.clip(pos_raw - 1, 0, cap - 1)
+                fm = (st_in.keys[pm] == q0 - 1) & okm & (pos_raw > 0)
+                pp = jnp.minimum(pos_raw + f0.astype(jnp.int32), cap - 1)
+                fp = (st_in.keys[pp] == q0 + 1) & okp
+                pos = jnp.maximum(
+                    jax.lax.cummax(jnp.where(qq >= 0, pos_raw, -1)), 0
+                )
+            rows.append(
+                pos * 8
+                + fm.astype(jnp.int32) * 4
+                + f0.astype(jnp.int32) * 2
+                + fp.astype(jnp.int32)
+            )
+    return jnp.stack(rows)  # [kd·kh, V_out]
+
+
+def strided_conv_packed(
+    features: jax.Array,  # [V_in, C]
+    packed: jax.Array,  # [kd·kh, V_out]
+    weights: jax.Array,  # [K, C, O], (κz, κy, κx) raster
+    out_valid: jax.Array,  # [V_out]
+    *,
+    kw3: int,  # x extent of the kernel (1 or 3)
+    band: int = BAND,
+    wslack: int = WSLACK,
+) -> jax.Array:
+    """Fused strided-conv forward + dW; d_features stays on the XLA
+    inverse-gather path (`sparse.gather_gemm_strided`-style): the inverse
+    map's tap→weight pairing is x-parity-dependent under stride 2, which
+    the fixed 3-tap weight blocks of the fused kernel cannot express.
+
+    Channels pad to 16 (like `subm_conv9`); kw=1 kernels zero-pad the
+    m/p tap weight blocks."""
+    k, cin0, cout = weights.shape
+    n_pairs = packed.shape[0]
+    cin = _rup(cin0, 16)
+    if cin != cin0:
+        features = jnp.pad(features, ((0, 0), (0, cin - cin0)))
+        weights = jnp.pad(weights, ((0, 0), (0, cin - cin0), (0, 0)))
+    if kw3 == 1:
+        wtap = jnp.zeros((n_pairs, 3, cin, cout), weights.dtype)
+        wtap = wtap.at[:, 1].set(weights.reshape(n_pairs, cin, cout))
+    else:
+        wtap = weights.reshape(n_pairs, 3, cin, cout)
+    w2d = wtap.reshape(n_pairs * 3 * cin, cout)
+    v_in = features.shape[0]
+
+    @jax.custom_vjp
+    def f(feats, w2d):
+        out = fused_gather_gemm(feats, packed, w2d, band=band, wslack=wslack)
+        return out * out_valid[:, None].astype(jnp.float32)
+
+    def fwd(feats, w2d):
+        return f(feats, w2d), (feats, w2d)
+
+    def bwd(res, g):
+        feats, w2d = res
+        g = g * out_valid[:, None].astype(g.dtype)
+        # d_features: invert the packed map (injective per (pair, tap)) and
+        # run the XLA gather-GEMM with transposed weights
+        from efg_tpu.ops import sparse as S
+
+        pos = packed >> 3
+        v_out = packed.shape[1]
+        rng = jnp.arange(v_out, dtype=jnp.int32)
+
+        inv_rows = []
+        for p in range(n_pairs):
+            fm = (packed[p] >> 2) & 1
+            f0 = (packed[p] >> 1) & 1
+            fp = packed[p] & 1
+            taps = (
+                (pos[p] - 1, fm),
+                (pos[p], f0),
+                (pos[p] + f0, fp),
+            )
+            for r, flag in taps:
+                tgt = jnp.where(flag > 0, r, v_in)
+                inv_rows.append(
+                    jnp.full(v_in + 1, -1, jnp.int32)
+                    .at[tgt]
+                    .set(rng, mode="drop")[:v_in]
+                )
+        inv = jnp.stack(inv_rows)  # [n_pairs·3, V_in]
+        wt = jnp.swapaxes(w2d.reshape(n_pairs * 3, cin, cout), 1, 2)
+        d_feats = S._gather_gemm_impl(
+            g.astype(jnp.float32), inv, wt, jnp.ones(v_in, bool)
+        ).astype(feats.dtype)
+
+        dw_full = fused_gather_dw(
+            feats, packed, g.astype(jnp.float32), band=band, wslack=wslack
+        )  # [n_pairs·3·cin, O]
+        return d_feats, dw_full.astype(w2d.dtype)
+
+    f.defvjp(fwd, bwd)
+    out = f(features, w2d)
+    return out

@@ -603,6 +603,7 @@ def spconv_downsample(
     padding,
     max_out: int,
     bias: Optional[jax.Array] = None,
+    backend: str = "xla",
 ) -> SparseTensor:
     """Strided (generative) sparse conv, reference SparseConv3d semantics:
     output sites are every site whose kernel window touches ≥1 input voxel.
@@ -693,6 +694,26 @@ def spconv_downsample(
     # --- 3. rulebook vs INPUT keys: in = o*s - p + κ ------------------------
     kd, kh, kw = ks
     cap_in = st.capacity
+
+    if backend == "pallas" and kw in (1, 3):
+        from efg_tpu.ops.pallas import sparse_kernels as PK
+
+        packed = PK.build_monotone_rule_strided(
+            st, ob, ozc, oyc, oxc, out_valid, ks, s, p
+        )
+        # strided bands spread ~V_in/V_out wider than SubM's; widen the
+        # banded window accordingly (static per layer from the capacities)
+        ratio = max(1, -(-st.capacity // max_out))
+        out_feats = PK.strided_conv_packed(
+            st.features, packed, weights, out_valid, kw3=kw,
+            band=PK.BAND * ratio, wslack=PK.WSLACK * ratio,
+        )
+        if bias is not None:
+            out_feats = (out_feats + bias) * out_valid[:, None].astype(out_feats.dtype)
+        return SparseTensor(
+            out_feats, out_coords, out_keys, out_valid, (od, oh, ow), bsz
+        )
+
     in_cells = _grid_cells(st)
     if in_cells <= DENSE_GRID_LIMIT:
         # direct index-table lookups: one gather of [max_out] per offset

@@ -110,3 +110,54 @@ def test_tile_padding_and_overflow_path():
         S.set_compute_dtype(jnp.bfloat16)
     got = got * np.asarray(st.valid)[:, None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize(
+    "ks,stride,pad,kw3",
+    [((3, 3, 3), (2, 2, 2), (1, 1, 1), 3),
+     ((3, 3, 3), (2, 2, 2), (0, 1, 1), 3),
+     ((3, 1, 1), (2, 1, 1), (0, 0, 0), 1)],
+)
+def test_strided_conv_packed_matches_xla(ks, stride, pad, kw3):
+    """Pallas strided forward + VJP vs the XLA spconv_downsample path."""
+    cin, cout, max_out = 5, 6, 96
+    st, _ = _make_sparse(seed=5, n=48, cap=64, c=cin)
+    rs = np.random.RandomState(6)
+    k = ks[0] * ks[1] * ks[2]
+    w = _rand_weights(rs, k, cin, cout)
+
+    S.set_compute_dtype(jnp.float32)
+    try:
+        def run(backend, w):
+            out = S.spconv_downsample(
+                st, w, kernel_size=ks, stride=stride, padding=pad,
+                max_out=max_out, backend=backend,
+            )
+            return out
+
+        want = run("xla", w)
+        got = run("pallas", w)
+    finally:
+        S.set_compute_dtype(jnp.bfloat16)
+
+    np.testing.assert_array_equal(np.asarray(got.keys), np.asarray(want.keys))
+    np.testing.assert_allclose(
+        np.asarray(got.features), np.asarray(want.features), rtol=2e-2, atol=2e-2
+    )
+
+    # gradients: d_features and dW against the XLA path
+    def loss(backend, f, w):
+        out = S.spconv_downsample(
+            st.replace(features=f), w, kernel_size=ks, stride=stride,
+            padding=pad, max_out=max_out, backend=backend,
+        )
+        return jnp.sum(out.features ** 2)
+
+    S.set_compute_dtype(jnp.float32)
+    try:
+        gf_x, gw_x = jax.grad(lambda f, w: loss("xla", f, w), (0, 1))(st.features, w)
+        gf_p, gw_p = jax.grad(lambda f, w: loss("pallas", f, w), (0, 1))(st.features, w)
+    finally:
+        S.set_compute_dtype(jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), rtol=3e-2, atol=3e-2)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), rtol=3e-2, atol=3e-2)
