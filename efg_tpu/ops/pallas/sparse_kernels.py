@@ -645,11 +645,12 @@ def strided_conv_packed(
     kw3: int,  # x extent of the kernel (1 or 3)
     band: int = BAND,
     wslack: int = WSLACK,
+    inv: tuple | None = None,  # (packed_inv, wmap) from the inverse builder
 ) -> jax.Array:
-    """Fused strided-conv forward + dW; d_features stays on the XLA
-    inverse-gather path (`sparse.gather_gemm_strided`-style): the inverse
-    map's tap→weight pairing is x-parity-dependent under stride 2, which
-    the fixed 3-tap weight blocks of the fused kernel cannot express.
+    """Fused strided-conv forward + dW. d_features runs on the fused kernel
+    too when `inv` (the parity pseudo-pair inverse rulebook from
+    `build_monotone_rule_strided_inverse`) is provided; otherwise it falls
+    back to the XLA inverse-gather path.
 
     Channels pad to 16 (like `subm_conv9`); kw=1 kernels zero-pad the
     m/p tap weight blocks."""
@@ -675,11 +676,29 @@ def strided_conv_packed(
     def fwd(feats, w2d):
         return f(feats, w2d), (feats, w2d)
 
-    def bwd(res, g):
-        feats, w2d = res
-        g = g * out_valid[:, None].astype(g.dtype)
-        # d_features: invert the packed map (injective per (pair, tap)) and
-        # run the XLA gather-GEMM with transposed weights
+    def _d_feats_fused(w2d, g):
+        """d_features as ANOTHER fused gather over the inverse rulebook:
+        gather source = output-row grads, weights = transposed κ blocks
+        routed by the pseudo-pair tap map."""
+        packed_inv, wmap = inv
+        # w2d rows are ((κz·kh+κy), κx-tap, c); flat κ = pair·kw3 + κx
+        wk = w2d.reshape(n_pairs, 3, cin, cout)
+        if kw3 == 1:
+            wk = wk[:, 1:2]  # single real tap
+        wk = wk.reshape(n_pairs * kw3, cin, cout)
+        zero = jnp.zeros((cout, cin), w2d.dtype)
+        blocks = [
+            jnp.swapaxes(wk[ki], 0, 1) if ki >= 0 else zero
+            for pair_taps in wmap
+            for ki in pair_taps
+        ]
+        w_inv = jnp.stack(blocks).reshape(len(wmap) * 3 * cout, cin)
+        d = fused_gather_gemm(g, packed_inv, w_inv, band=band, wslack=wslack)
+        return d[:v_in]
+
+    def _d_feats_xla(w2d, g):
+        # invert the packed map (injective per (pair, tap)) and run the XLA
+        # gather-GEMM with transposed weights
         from efg_tpu.ops import sparse as S
 
         pos = packed >> 3
@@ -703,11 +722,17 @@ def strided_conv_packed(
                     .at[tgt]
                     .set(rng, mode="drop")[:v_in]
                 )
-        inv = jnp.stack(inv_rows)  # [n_pairs·3, V_in]
+        inv_rb = jnp.stack(inv_rows)  # [n_pairs·3, V_in]
         wt = jnp.swapaxes(w2d.reshape(n_pairs * 3, cin, cout), 1, 2)
-        d_feats = S._gather_gemm_impl(
-            g.astype(jnp.float32), inv, wt, jnp.ones(v_in, bool)
-        ).astype(feats.dtype)
+        return S._gather_gemm_impl(
+            g.astype(jnp.float32), inv_rb, wt, jnp.ones(v_in, bool)
+        )
+
+    def bwd(res, g):
+        feats, w2d = res
+        g = g * out_valid[:, None].astype(g.dtype)
+        d_fn = _d_feats_fused if inv is not None else _d_feats_xla
+        d_feats = d_fn(w2d, g.astype(jnp.float32)).astype(feats.dtype)
 
         dw_full = fused_gather_dw(
             feats, packed, g.astype(jnp.float32), band=band, wslack=wslack
@@ -717,3 +742,126 @@ def strided_conv_packed(
     f.defvjp(fwd, bwd)
     out = f(features, w2d)
     return out
+
+
+def build_monotone_rule_strided_inverse(
+    st_in, out_keys, out_spatial, ks, stride, padding
+):
+    """Inverse packed rulebook for the strided conv's d_features: for each
+    INPUT row, which OUTPUT rows consume it, and through which kernel
+    offset. Returns (packed_inv [P₂, V_in], wmap [P₂][3]) where wmap gives
+    the flat κ index feeding each tap slot (−1 = zero weight).
+
+    Under x-stride 2 an input row feeds ≤2 outputs whose κx depends on the
+    x parity, which a fixed tap→weight block cannot express — so each
+    (κz, κy) splits into parity PSEUDO-PAIRS with fixed maps:
+      · sw=2, kw=3:  A (x+pw even): taps (·, κx=2, κx=0) at output keys
+        (q, q+1);  B (x+pw odd): tap (·, κx=1, ·) — 2 pairs each.
+      · sw=1, kw=3:  one pair, taps (κx=2, κx=1, κx=0) at (q−1, q, q+1).
+      · kw=1: one pair, middle tap only.
+    Queried output keys are monotone over the (sorted) input rows per
+    pseudo-pair; invalid rows are backfilled with a running max. Pairs are
+    zero-padded to a multiple of 3 (the kernel's group granularity).
+    """
+    kd, kh, kw3 = ks
+    sd, sh, sw = stride
+    pd, ph, pw = padding
+    assert kw3 in (1, 3) and sw in (1, 2)
+    od, oh, ow = out_spatial
+    v_out = out_keys.shape[0]
+    cells = st_in.batch_size * od * oh * ow
+    assert cells < 2**31
+
+    # dense output-grid index table (1-padded for 3-wide gathers)
+    tbl_idx = jnp.where(out_keys >= 0, out_keys + 1, cells + 2)
+    table = (
+        jnp.full(cells + 3, -1, jnp.int32)
+        .at[tbl_idx]
+        .set(jnp.arange(v_out, dtype=jnp.int32), mode="drop")[: cells + 2]
+    )
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
+    )
+
+    b = st_in.coords[:, 0]
+    z = st_in.coords[:, 1]
+    y = st_in.coords[:, 2]
+    x = st_in.coords[:, 3]
+
+    def lookup3(q, okm, ok0, okp):
+        """rows of output keys (q−1, q, q+1) + packed word with anchor pos."""
+        qc = jnp.clip(q, 0, cells - 1)
+        tri = jax.lax.gather(
+            table, qc[:, None], dnums, slice_sizes=(3,),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )
+        im = jnp.where(okm, tri[:, 0], -1)
+        i0 = jnp.where(ok0, tri[:, 1], -1)
+        ip = jnp.where(okp, tri[:, 2], -1)
+        fm, f0, fp = im >= 0, i0 >= 0, ip >= 0
+        pos = jnp.where(f0, i0, jnp.where(fp, ip, jnp.where(fm, im + 1, -1)))
+        pos = jnp.maximum(jax.lax.cummax(pos), 0)
+        return (
+            pos * 8
+            + fm.astype(jnp.int32) * 4
+            + f0.astype(jnp.int32) * 2
+            + fp.astype(jnp.int32)
+        )
+
+    rows, wmap = [], []
+    for kz in range(kd):
+        for ky in range(kh):
+            ozn = z + pd - kz
+            oyn = y + ph - ky
+            oz = ozn // sd
+            oy = oyn // sh
+            okzy = (
+                st_in.valid
+                & (ozn % sd == 0) & (oz >= 0) & (oz < od)
+                & (oyn % sh == 0) & (oy >= 0) & (oy < oh)
+            )
+            kflat = (kz * kh + ky) * kw3
+            base = ((b * od + oz) * oh + oy) * ow
+
+            if kw3 == 3 and sw == 2:
+                par_even = (x + pw) % 2 == 0
+                oxa = (x + pw) // 2 - 1  # κx=2 output; κx=0 at oxa+1
+                okA = okzy & par_even
+                rows.append(lookup3(
+                    base + oxa,
+                    jnp.zeros_like(okA),
+                    okA & (oxa >= 0) & (oxa < ow),
+                    okA & (oxa + 1 >= 0) & (oxa + 1 < ow),
+                ))
+                wmap.append((-1, kflat + 2, kflat + 0))
+                oxb = (x + pw - 1) // 2  # κx=1 output
+                okB = okzy & ~par_even
+                rows.append(lookup3(
+                    base + oxb,
+                    jnp.zeros_like(okB),
+                    okB & (oxb >= 0) & (oxb < ow),
+                    jnp.zeros_like(okB),
+                ))
+                wmap.append((-1, kflat + 1, -1))
+            elif kw3 == 3 and sw == 1:
+                oxm = x + pw - 1  # κx=1 output; κx=2 at oxm−1, κx=0 at oxm+1
+                rows.append(lookup3(
+                    base + oxm,
+                    okzy & (oxm - 1 >= 0) & (oxm - 1 < ow),
+                    okzy & (oxm >= 0) & (oxm < ow),
+                    okzy & (oxm + 1 >= 0) & (oxm + 1 < ow),
+                ))
+                wmap.append((kflat + 2, kflat + 1, kflat + 0))
+            else:  # kw3 == 1
+                oxn = x + pw
+                ox = oxn // sw
+                ok = okzy & (oxn % sw == 0) & (ox >= 0) & (ox < ow)
+                rows.append(lookup3(
+                    base + ox, jnp.zeros_like(ok), ok, jnp.zeros_like(ok)
+                ))
+                wmap.append((-1, kflat, -1))
+
+    while len(rows) % 3:  # pad to the kernel's 3-pair group granularity
+        rows.append(jnp.full_like(rows[0], v_out * 8))
+        wmap.append((-1, -1, -1))
+    return jnp.stack(rows), tuple(wmap)

@@ -701,12 +701,15 @@ def spconv_downsample(
         packed = PK.build_monotone_rule_strided(
             st, ob, ozc, oyc, oxc, out_valid, ks, s, p
         )
+        inv = PK.build_monotone_rule_strided_inverse(
+            st, out_keys, (od, oh, ow), ks, s, p
+        )
         # strided bands spread ~V_in/V_out wider than SubM's; widen the
         # banded window accordingly (static per layer from the capacities)
         ratio = max(1, -(-st.capacity // max_out))
         out_feats = PK.strided_conv_packed(
             st.features, packed, weights, out_valid, kw3=kw,
-            band=PK.BAND * ratio, wslack=PK.WSLACK * ratio,
+            band=PK.BAND * ratio, wslack=PK.WSLACK * ratio, inv=inv,
         )
         if bias is not None:
             out_feats = (out_feats + bias) * out_valid[:, None].astype(out_feats.dtype)
