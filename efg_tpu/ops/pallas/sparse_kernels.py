@@ -68,13 +68,13 @@ def _rup(x: int, m: int) -> int:
     return _cdiv(x, m) * m
 
 
-def _taps_band(gacc, cols, cin):
+def _taps_band(gvals, cols, cin):
     """Masked tap blocks ([cin, 128] bf16 ×3) for one band from the packed
-    rulebook columns [1, 128]."""
+    rulebook columns [1, 128]. `gvals` is the band's gathered [c3p, 128]."""
     fm = ((cols >> 2) & 1).astype(jnp.float32)
     f0 = ((cols >> 1) & 1).astype(jnp.float32)
     fp = (cols & 1).astype(jnp.float32)
-    g = gacc[:].astype(jnp.bfloat16)
+    g = gvals.astype(jnp.bfloat16)
     gm = g[0:cin] * fm.astype(jnp.bfloat16)
     g0 = g[cin : 2 * cin]
     # +1 tap: row pos+1 when the middle tap exists, else the row AT pos
@@ -135,13 +135,17 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
         return qs, bound
 
     def store_taps(j, b, cols):
-        gm, g0, gp = _taps_band(gacc, cols, cin)
+        gm, g0, gp = _taps_band(gacc[j * nb + b], cols, cin)
         srow = j * 3 * cin
         sl = pl.ds(b * 128, 128)
         stacked[srow : srow + cin, sl] = gm
         stacked[srow + cin : srow + 2 * cin, sl] = g0
         stacked[srow + 2 * cin : srow + 3 * cin, sl] = gp
 
+    # phase 1: ALL band one-hot matmuls back-to-back into per-band gacc
+    # slots — interleaving each matmul with its VPU tap-masking (the old
+    # structure) ping-pongs MXU↔VPU and pays the MXU drain latency per
+    # matmul; issuing them consecutively lets Mosaic pipeline the drains.
     for j in range(3):  # δy pairs in this group (static)
         for b in range(nb):  # bands (static)
             cols = row3[j : j + 1, b * 128 : (b + 1) * 128]  # [1, 128]
@@ -156,10 +160,15 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
             rel = pos_b - (ws + off)
             oh = (q_ids == rel).astype(jnp.bfloat16)
             wband = wbuf[cur, pl.ds(off, cover), :]
-            gacc[:] = jax.lax.dot_general(
+            gacc[j * nb + b] = jax.lax.dot_general(
                 wband, oh, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+    # phase 2: flag-mask the gathered taps into the stacked buffer
+    for j in range(3):
+        for b in range(nb):
+            cols = row3[j : j + 1, b * 128 : (b + 1) * 128]
             store_taps(j, b, cols)
 
     # rare per-step fallback pass: rerun the bands whose input spread
@@ -177,7 +186,8 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
 
                 @pl.when(jnp.logical_not(covered))
                 def _(cols=cols, pos_b=pos_b, qs=qs, bound=bound, j=j, b=b):
-                    gacc[:] = jnp.zeros_like(gacc)
+                    slot = j * nb + b
+                    gacc[slot] = jnp.zeros((c3p, 128), jnp.float32)
                     novf = (bound - qs + cover - 1) // cover
 
                     def ovf(k, _):
@@ -188,7 +198,7 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
                         dma.start()
                         dma.wait()
                         oh2 = (q_ids == (pos_b - rs)).astype(jnp.bfloat16)
-                        gacc[:] += jax.lax.dot_general(
+                        gacc[slot] += jax.lax.dot_general(
                             obuf[:], oh2, (((0,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
@@ -329,7 +339,7 @@ def fused_gather_gemm(
         scratch_shapes=[
             pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
             pltpu.VMEM((2 * band, c3p), jnp.bfloat16),
-            pltpu.VMEM((c3p, 128), jnp.float32),
+            pltpu.VMEM((3 * (tile // 128), c3p, 128), jnp.float32),
             pltpu.VMEM((9 * cin, tile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -415,7 +425,7 @@ def fused_gather_dw(
         scratch_shapes=[
             pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
             pltpu.VMEM((2 * band, c3p), jnp.bfloat16),
-            pltpu.VMEM((c3p, 128), jnp.float32),
+            pltpu.VMEM((3 * (tile // 128), c3p, 128), jnp.float32),
             pltpu.VMEM((9 * cin, tile), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -693,7 +703,10 @@ def strided_conv_packed(
             for ki in pair_taps
         ]
         w_inv = jnp.stack(blocks).reshape(len(wmap) * 3 * cout, cin)
-        d = fused_gather_gemm(g, packed_inv, w_inv, band=band, wslack=wslack)
+        # inverse spread per 128 input rows is ~128·(V_out/V_in) < 128 —
+        # the default (SubM-sized) band suffices regardless of the
+        # forward's widened band
+        d = fused_gather_gemm(g, packed_inv, w_inv)
         return d[:v_in]
 
     def _d_feats_xla(w2d, g):

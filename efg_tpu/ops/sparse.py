@@ -704,12 +704,16 @@ def spconv_downsample(
         inv = PK.build_monotone_rule_strided_inverse(
             st, out_keys, (od, oh, ow), ks, s, p
         )
-        # strided bands spread ~V_in/V_out wider than SubM's; widen the
-        # banded window accordingly (static per layer from the capacities)
+        # strided bands spread ~V_in/V_out wider than SubM's: per 128
+        # output rows the input span is ~128·ratio plus gap slack — size
+        # cover (=2·band) to ~1.5× that, and the window to the per-tile
+        # span (static per layer from the capacities)
         ratio = max(1, -(-st.capacity // max_out))
+        band = -(-(96 * ratio + 48) // 16) * 16
+        wslack = PK.TILE * (ratio - 1) + 2 * band + 256
         out_feats = PK.strided_conv_packed(
             st.features, packed, weights, out_valid, kw3=kw,
-            band=PK.BAND * ratio, wslack=PK.WSLACK * ratio, inv=inv,
+            band=band, wslack=wslack, inv=inv,
         )
         if bias is not None:
             out_feats = (out_feats + bias) * out_valid[:, None].astype(out_feats.dtype)
