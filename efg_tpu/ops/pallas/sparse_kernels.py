@@ -643,7 +643,18 @@ def build_monotone_rule_strided(
                 + f0.astype(jnp.int32) * 2
                 + fp.astype(jnp.int32)
             )
-    return jnp.stack(rows)  # [kd·kh, V_out]
+    if kh == 1 and kd > 1:
+        # pairs are per-κz and query DIFFERENT z-planes; the kernel windows
+        # one group of 3 pairs together, so give each κz its own group
+        # padded with zero-flag dummies that share its positions (window
+        # stays tight, taps contribute nothing). Caller zero-pads weights
+        # to match (see `spconv_downsample`).
+        expanded = []
+        for r in rows:
+            dummy = (r >> 3) * 8
+            expanded += [r, dummy, dummy]
+        rows = expanded
+    return jnp.stack(rows)  # [P, V_out]
 
 
 def strided_conv_packed(
@@ -874,6 +885,21 @@ def build_monotone_rule_strided_inverse(
                 ))
                 wmap.append((-1, kflat, -1))
 
+    if kh == 1 and kd > 1:
+        # per-κz pairs target different output z-planes — isolate each in
+        # its own group with position-sharing zero-flag dummies (same
+        # reasoning as the forward builder). The caller's weights are
+        # expanded the same way (real κz at slot 3·κz), so remap indices.
+        rows = [r2 for r in rows for r2 in (r, (r >> 3) * 8, (r >> 3) * 8)]
+        wmap = [
+            m2
+            for m in wmap
+            for m2 in (
+                tuple(3 * ki if ki >= 0 else -1 for ki in m),
+                (-1, -1, -1),
+                (-1, -1, -1),
+            )
+        ]
     while len(rows) % 3:  # pad to the kernel's 3-pair group granularity
         rows.append(jnp.full_like(rows[0], v_out * 8))
         wmap.append((-1, -1, -1))

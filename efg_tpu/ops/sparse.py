@@ -695,7 +695,7 @@ def spconv_downsample(
     kd, kh, kw = ks
     cap_in = st.capacity
 
-    if backend == "pallas" and kw in (1, 3):
+    if backend == "pallas" and kw in (1, 3) and (kh == 3 or kw == 1):
         from efg_tpu.ops.pallas import sparse_kernels as PK
 
         packed = PK.build_monotone_rule_strided(
@@ -704,15 +704,26 @@ def spconv_downsample(
         inv = PK.build_monotone_rule_strided_inverse(
             st, out_keys, (od, oh, ow), ks, s, p
         )
+        w_eff = weights
+        if kh == 1 and kd > 1:
+            # builders expanded each κz pair to its own group of 3 (see
+            # build_monotone_rule_strided): zero-pad the weight pairs to
+            # match [κ0, 0, 0, κ1, 0, 0, …]
+            cin_w, cout_w = weights.shape[1], weights.shape[2]
+            w_eff = (
+                jnp.zeros((3 * kd, cin_w, cout_w), weights.dtype)
+                .at[::3]
+                .set(weights)
+            )
         # strided bands spread ~V_in/V_out wider than SubM's: per 128
         # output rows the input span is ~128·ratio plus gap slack — size
         # cover (=2·band) to ~1.5× that, and the window to the per-tile
         # span (static per layer from the capacities)
         ratio = max(1, -(-st.capacity // max_out))
-        band = -(-(96 * ratio + 48) // 16) * 16
+        band = -(-(128 * ratio + 64) // 16) * 16  # swept: wider beats tight
         wslack = PK.TILE * (ratio - 1) + 2 * band + 256
         out_feats = PK.strided_conv_packed(
-            st.features, packed, weights, out_valid, kw3=kw,
+            st.features, packed, w_eff, out_valid, kw3=kw,
             band=band, wslack=wslack, inv=inv,
         )
         if bias is not None:
