@@ -23,11 +23,15 @@ class _ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # bf16 conv compute (params stay f32): v5e MXU runs f32 at 1/4 the
+        # bf16 rate; BN keeps f32 statistics
         x = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, kernel_init=_conv_init,
+            dtype=jnp.bfloat16,
         )(x)
-        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_running_average=not train)(x)
+        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_running_average=not train,
+                         dtype=jnp.float32)(x)
         return jax.nn.relu(x)
 
 
@@ -58,14 +62,14 @@ class RPN(nn.Module):
                     u = nn.ConvTranspose(
                         self.us_num_filters[ui], (stride, stride), strides=(stride, stride),
                         padding="VALID", use_bias=False, kernel_init=_conv_init,
-                        name=f"deblock{ui}_deconv",
+                        dtype=jnp.bfloat16, name=f"deblock{ui}_deconv",
                     )(x)
                 else:
                     s = int(round(1 / stride))
                     u = nn.Conv(
                         self.us_num_filters[ui], (s, s), strides=(s, s),
                         padding="VALID", use_bias=False, kernel_init=_conv_init,
-                        name=f"deblock{ui}_conv",
+                        dtype=jnp.bfloat16, name=f"deblock{ui}_conv",
                     )(x)
                 u = nn.BatchNorm(
                     momentum=0.9, epsilon=1e-5, use_running_average=not train,
