@@ -142,38 +142,47 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
         stacked[srow + cin : srow + 2 * cin, sl] = g0
         stacked[srow + 2 * cin : srow + 3 * cin, sl] = gp
 
-    # phase 1: ALL band one-hot matmuls back-to-back into per-band gacc
-    # slots — interleaving each matmul with its VPU tap-masking (the old
-    # structure) ping-pongs MXU↔VPU and pays the MXU drain latency per
-    # matmul; issuing them consecutively lets Mosaic pipeline the drains.
-    for j in range(3):  # δy pairs in this group (static)
-        for b in range(nb):  # bands (static)
-            cols = row3[j : j + 1, b * 128 : (b + 1) * 128]  # [1, 128]
-            pos_b = cols >> 3
-            qs, _ = band_scalars(j, b)
+    # skip entirely-empty steps (every band flagless — common in the
+    # capacity-padding tail of the later stages): just zero the stacked
+    # buffer. The branch holds no DMA, so its presence is cheap.
+    @pl.when(sflags_ref[step] < 2)
+    def _():
+        stacked[:] = jnp.zeros_like(stacked)
 
-            off = jnp.clip(qs - ws, 0, chunkw - cover)
-            off = pl.multiple_of(off, 16)
-            # one-hot relative to the slice actually loaded: when the band
-            # escapes the slice, rel falls outside [0, cover) and the
-            # column is zero — no masking branch needed
-            rel = pos_b - (ws + off)
-            oh = (q_ids == rel).astype(jnp.bfloat16)
-            wband = wbuf[cur, pl.ds(off, cover), :]
-            gacc[j * nb + b] = jax.lax.dot_general(
-                wband, oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    @pl.when(sflags_ref[step] >= 2)
+    def _():
+        # phase 1: ALL band one-hot matmuls back-to-back into per-band gacc
+        # slots — interleaving each matmul with its VPU tap-masking (the
+        # old structure) ping-pongs MXU↔VPU and pays the MXU drain latency
+        # per matmul; consecutive issue lets Mosaic pipeline the drains.
+        for j in range(3):  # δy pairs in this group (static)
+            for b in range(nb):  # bands (static)
+                cols = row3[j : j + 1, b * 128 : (b + 1) * 128]  # [1, 128]
+                pos_b = cols >> 3
+                qs, _ = band_scalars(j, b)
 
-    # phase 2: flag-mask the gathered taps into the stacked buffer
-    for j in range(3):
-        for b in range(nb):
-            cols = row3[j : j + 1, b * 128 : (b + 1) * 128]
-            store_taps(j, b, cols)
+                off = jnp.clip(qs - ws, 0, chunkw - cover)
+                off = pl.multiple_of(off, 16)
+                # one-hot relative to the slice actually loaded: when the
+                # band escapes the slice, rel falls outside [0, cover) and
+                # the column is zero — no masking branch needed
+                rel = pos_b - (ws + off)
+                oh = (q_ids == rel).astype(jnp.bfloat16)
+                wband = wbuf[cur, pl.ds(off, cover), :]
+                gacc[j * nb + b] = jax.lax.dot_general(
+                    wband, oh, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        # phase 2: flag-mask the gathered taps into the stacked buffer
+        for j in range(3):
+            for b in range(nb):
+                cols = row3[j : j + 1, b * 128 : (b + 1) * 128]
+                store_taps(j, b, cols)
 
     # rare per-step fallback pass: rerun the bands whose input spread
     # escaped the double-width in-window slice (flag precomputed in _prep)
-    @pl.when(sflags_ref[step] > 0)
+    @pl.when((sflags_ref[step] & 1) > 0)
     def _():
         for j in range(3):
             for b in range(nb):
@@ -295,8 +304,14 @@ def _prep(packed, v_pos, tile, band, chunkw):
     qs = (enc.reshape(-1, 3 * nb) // 16) * 16
     bnd = bounds.reshape(-1, 3 * nb)
     wsb = wstarts[:, None]
-    esc = (qs < wsb) | (qs > wsb + (chunkw - cover)) | (bnd - qs > cover)
-    sflags = jnp.any(esc, axis=1).astype(jnp.int32)  # [nT*G]
+    fnd = (enc.reshape(-1, 3 * nb) & 1) > 0
+    esc = ((qs < wsb) | (qs > wsb + (chunkw - cover)) | (bnd - qs > cover)) & fnd
+    # bit 0: any band escapes (fallback pass); bit 1: any band has found
+    # taps (else the whole step's gather work is skipped)
+    sflags = (
+        jnp.any(esc, axis=1).astype(jnp.int32)
+        + 2 * jnp.any(fnd, axis=1).astype(jnp.int32)
+    )  # [nT*G]
     # [G groups, 3 pairs, vt] so the kernel can block-load one group's rows
     packed = packed.reshape(n_groups, 3, vt)
     return packed, wstarts.astype(jnp.int32), enc, bounds, sflags, vt
