@@ -84,7 +84,8 @@ def _taps_band(gvals, cols, cin):
 
 def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
                   feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, *,
-                  i, g, n_steps, tile, band, chunkw, cin, c3p, n_groups=3):
+                  i, g, n_steps, tile, band, chunkw, cin, c3p, n_groups=3,
+                  pack2=False):
     """Gather the three δy pairs of δz-group `g` for tile `i` and store the
     masked tap blocks into `stacked` (rows ordered (pair, tap, channel)).
 
@@ -134,8 +135,15 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
         bound = bounds_ref[bidx]  # upper bound on max(pos_b) + 1
         return qs, bound
 
+    shift = 4 if pack2 else 3
+
     def store_taps(j, b, cols):
-        gm, g0, gp = _taps_band(gacc[j * nb + b], cols, cin)
+        gvals = gacc[j * nb + b]
+        if pack2:
+            parity = ((cols >> 3) & 1) > 0  # [1, 128]
+            c3 = 3 * cin
+            gvals = jnp.where(parity, gvals[c3 : 2 * c3], gvals[0:c3])
+        gm, g0, gp = _taps_band(gvals, cols, cin)
         srow = j * 3 * cin
         sl = pl.ds(b * 128, 128)
         stacked[srow : srow + cin, sl] = gm
@@ -158,7 +166,7 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
         for j in range(3):  # δy pairs in this group (static)
             for b in range(nb):  # bands (static)
                 cols = row3[j : j + 1, b * 128 : (b + 1) * 128]  # [1, 128]
-                pos_b = cols >> 3
+                pos_b = cols >> shift
                 qs, _ = band_scalars(j, b)
 
                 off = jnp.clip(qs - ws, 0, chunkw - cover)
@@ -187,7 +195,7 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
         for j in range(3):
             for b in range(nb):
                 cols = row3[j : j + 1, b * 128 : (b + 1) * 128]
-                pos_b = cols >> 3
+                pos_b = cols >> shift
                 qs, bound = band_scalars(j, b)
                 covered = (qs - ws >= 0) & (qs - ws <= chunkw - cover) & (
                     bound - qs <= cover
@@ -225,7 +233,7 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
 def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
                 w_ref, feat_ref, out_ref, wbuf, obuf, gacc, stacked, wsems,
                 osem, *, cin: int, band: int, chunkw: int, c3p: int,
-                n_steps: int, n_groups: int = 3):
+                n_steps: int, n_groups: int = 3, pack2: bool = False):
     i = pl.program_id(0)
     g = pl.program_id(1)
     tile = out_ref.shape[0]
@@ -238,7 +246,7 @@ def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
     _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
                   feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
                   n_steps=n_steps, tile=tile, band=band, chunkw=chunkw,
-                  cin=cin, c3p=c3p, n_groups=n_groups)
+                  cin=cin, c3p=c3p, n_groups=n_groups, pack2=pack2)
 
     wsl = pl.multiple_of(g * 9 * cin, 16)
     out_ref[:] += jax.lax.dot_general(
@@ -247,18 +255,30 @@ def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
     )  # [T, O]
 
 
-def _feat3(features: jax.Array, vpad: int) -> jax.Array:
+def _feat3(features: jax.Array, vpad: int, pack2: bool = False) -> jax.Array:
     """[V, C] → [vpad, 3C_pad128] bf16 with feat3[v] = (f[v-1], f[v], f[v+1]),
-    lane-padded to a 128 multiple (HBM window DMAs need 128-aligned lanes)."""
+    lane-padded to a 128 multiple (HBM window DMAs need 128-aligned lanes).
+
+    pack2 (3C ≤ 64, e.g. C=16): two consecutive rows share one lane-row —
+    [vpad, 2·3C_pad128], halving window-DMA traffic and one-hot FLOPs; the
+    kernel parity-selects the half per output column. `vpad` counts PACKED
+    rows in that case."""
     v, c = features.shape
     f = features.astype(jnp.bfloat16)
     fm = jnp.concatenate([jnp.zeros((1, c), f.dtype), f[:-1]], axis=0)
     fp = jnp.concatenate([f[1:], jnp.zeros((1, c), f.dtype)], axis=0)
     f3 = jnp.concatenate([fm, f, fp], axis=1)
+    if pack2:
+        if v % 2:
+            f3 = jnp.pad(f3, ((0, 1), (0, 0)))
+        f3 = f3.reshape(-(-v // 2), 6 * c)
+        return jnp.pad(
+            f3, ((0, vpad - f3.shape[0]), (0, _rup(6 * c, 128) - 6 * c))
+        )
     return jnp.pad(f3, ((0, vpad - v), (0, _rup(3 * c, 128) - 3 * c)))
 
 
-def _prep(packed, v_pos, tile, band, chunkw):
+def _prep(packed, v_pos, tile, band, chunkw, pos_shift=3):
     """Pad the packed rulebook to a tile multiple; compute per-(tile, group)
     window starts, per-(tile, group, pair, band) band starts (16-aligned),
     and the per-step fallback flags (any band escaping its double-width
@@ -273,10 +293,12 @@ def _prep(packed, v_pos, tile, band, chunkw):
     v = packed.shape[1]
     vt = _rup(v, tile)
     if vt != v:
-        packed = jnp.pad(packed, ((0, 0), (0, vt - v)), constant_values=v_pos * 8)
+        packed = jnp.pad(
+            packed, ((0, 0), (0, vt - v)), constant_values=v_pos << pos_shift
+        )
     nb = tile // 128
     nt = vt // tile
-    pos128 = (packed[:, ::128] >> 3)  # [P, vt/128]
+    pos128 = (packed[:, ::128] >> pos_shift)  # [P, vt/128]
     bstarts = (pos128 // 16) * 16  # [P, nT*nb]
     # per-band found flag (bit 0 of the encoded start)
     flags = (
@@ -334,11 +356,20 @@ def fused_gather_gemm(
     v_out = packed.shape[1]
     n_groups = packed.shape[0] // 3
     cout = weights.shape[1]
+    pack2 = 3 * cin <= 64
+    if pack2:  # halve band/window (they count PACKED rows)
+        band = _rup(max(band // 2, 32), 16)
+        wslack = _rup(max(wslack // 2, 64), 16)
+        pos = packed >> 3
+        packed = (pos >> 1) * 16 + (pos & 1) * 8 + (packed & 7)
+        v_pos = -(-v_in // 2)
+    else:
+        v_pos = v_in
     chunkw = tile + wslack
     packed, wstarts, bstarts, bounds, sflags, vt = _prep(
-        packed, v_in, tile, band, chunkw
+        packed, v_pos, tile, band, chunkw, pos_shift=4 if pack2 else 3
     )
-    feat3 = _feat3(features, v_in + chunkw + 2 * band + 32)
+    feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
     c3p = feat3.shape[1]
     n_steps = (vt // tile) * n_groups
 
@@ -362,7 +393,8 @@ def fused_gather_gemm(
     )
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, cin=cin, band=band, chunkw=chunkw,
-                          c3p=c3p, n_steps=n_steps, n_groups=n_groups),
+                          c3p=c3p, n_steps=n_steps, n_groups=n_groups,
+                          pack2=pack2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((vt, cout), jnp.float32),
         interpret=_INTERPRET,
@@ -379,7 +411,7 @@ def fused_gather_gemm(
 def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
                g_ref, feat_ref, dw_ref, wbuf, obuf, gacc, stacked, wsems,
                osem, *, cin: int, band: int, chunkw: int, c3p: int,
-               n_steps: int, n_groups: int = 3):
+               n_steps: int, n_groups: int = 3, pack2: bool = False):
     i = pl.program_id(0)
     g = pl.program_id(1)
     tile = g_ref.shape[0]
@@ -392,7 +424,7 @@ def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
     _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
                   feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, i=i, g=g,
                   n_steps=n_steps, tile=tile, band=band, chunkw=chunkw,
-                  cin=cin, c3p=c3p, n_groups=n_groups)
+                  cin=cin, c3p=c3p, n_groups=n_groups, pack2=pack2)
 
     wsl = pl.multiple_of(g * 9 * cin, 16)
     dw_ref[pl.ds(wsl, 9 * cin), :] += jax.lax.dot_general(
@@ -416,13 +448,22 @@ def fused_gather_dw(
     v_out = packed.shape[1]
     n_groups = packed.shape[0] // 3
     cout = g.shape[1]
+    pack2 = 3 * cin <= 64
+    if pack2:
+        band = _rup(max(band // 2, 32), 16)
+        wslack = _rup(max(wslack // 2, 64), 16)
+        pos = packed >> 3
+        packed = (pos >> 1) * 16 + (pos & 1) * 8 + (packed & 7)
+        v_pos = -(-v_in // 2)
+    else:
+        v_pos = v_in
     chunkw = tile + wslack
     packed, wstarts, bstarts, bounds, sflags, vt = _prep(
-        packed, v_in, tile, band, chunkw
+        packed, v_pos, tile, band, chunkw, pos_shift=4 if pack2 else 3
     )
     if vt != v_out:
         g = jnp.pad(g, ((0, vt - v_out), (0, 0)))
-    feat3 = _feat3(features, v_in + chunkw + 2 * band + 32)
+    feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
     c3p = feat3.shape[1]
     n_steps = (vt // tile) * n_groups
 
@@ -448,7 +489,8 @@ def fused_gather_dw(
     )
     dw = pl.pallas_call(
         functools.partial(_dw_kernel, cin=cin, band=band, chunkw=chunkw,
-                          c3p=c3p, n_steps=n_steps, n_groups=n_groups),
+                          c3p=c3p, n_steps=n_steps, n_groups=n_groups,
+                          pack2=pack2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((3 * n_groups * 3 * cin, cout), jnp.float32),
         interpret=_INTERPRET,

@@ -39,7 +39,7 @@ def test_monotone_rule_matches_rule9_semantics():
     np.testing.assert_array_equal(pos[f_old[:, 1]], pos_x[f_old[:, 1]])
 
 
-@pytest.mark.parametrize("cin,cout", [(4, 6), (8, 8), (5, 7)])
+@pytest.mark.parametrize("cin,cout", [(4, 6), (8, 8), (5, 7), (24, 12)])
 def test_fused_gather_gemm_matches_oracle(cin, cout):
     st, dense = _make_sparse(seed=1, n=48, cap=64, c=cin)
     rs = np.random.RandomState(2)
