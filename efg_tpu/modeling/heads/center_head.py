@@ -39,10 +39,12 @@ class SepHead(nn.Module):
         for name, (classes, num_conv) in self.heads.items():
             h = x
             for i in range(num_conv - 1):
+                # bf16 conv compute (f32 params / BN / final predictions)
                 h = nn.Conv(
                     self.head_conv, (self.final_kernel, self.final_kernel),
                     padding=self.final_kernel // 2, use_bias=True,
-                    kernel_init=_conv_init, name=f"{name}_conv{i}",
+                    kernel_init=_conv_init, dtype=jnp.bfloat16,
+                    name=f"{name}_conv{i}",
                 )(h)
                 h = nn.BatchNorm(
                     momentum=0.9, epsilon=1e-5, use_running_average=not train,
@@ -74,7 +76,8 @@ class CenterHead(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool) -> List[Dict[str, jax.Array]]:
         x = nn.Conv(self.share_conv_channel, (3, 3), padding=1, use_bias=True,
-                    kernel_init=_conv_init, name="shared_conv")(x)
+                    kernel_init=_conv_init, dtype=jnp.bfloat16,
+                    name="shared_conv")(x)
         x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_running_average=not train,
                          name="shared_bn")(x)
         x = jax.nn.relu(x)
