@@ -532,17 +532,22 @@ def subm_conv9(
         ) * out_valid[:, None].astype(jnp.float32)
 
     def fwd(feats, w):
-        return f(feats, w), (feats, w)
+        # NOTE: packed/out_valid ride the residuals so the backward region
+        # depends on them EXPLICITLY — left as closure captures, XLA's
+        # scheduler rematerialized the entire rulebook build (index-table
+        # scatter + 9 gathers) inside the loop body (~0.5 ms × dozens per
+        # step, seen in the device trace) instead of keeping ~1 MB live.
+        return f(feats, w), (feats, w, packed, out_valid)
 
     def bwd(res, g):
-        feats, w = res
-        g = g * out_valid[:, None].astype(g.dtype)
+        feats, w, packed_r, ov = res
+        g = g * ov[:, None].astype(g.dtype)
         # full 27-raster reversal = reverse pairs AND taps jointly
         w_flip = jnp.swapaxes(w[::-1], 1, 2)  # [K, O, C]
         d_feats = fused_gather_gemm(
-            g.astype(jnp.float32), packed, w_flip.reshape(k3 * cout, cin)
+            g.astype(jnp.float32), packed_r, w_flip.reshape(k3 * cout, cin)
         ).astype(feats.dtype)
-        dw = fused_gather_dw(feats, packed, g.astype(jnp.float32))
+        dw = fused_gather_dw(feats, packed_r, g.astype(jnp.float32))
         dw = dw.reshape(k3, cin, cout).astype(w.dtype)
         return d_feats, dw
 
@@ -752,13 +757,16 @@ def strided_conv_packed(
         return out * out_valid[:, None].astype(jnp.float32)
 
     def fwd(feats, w2d):
-        return f(feats, w2d), (feats, w2d)
+        # residual-carried structure arrays: see subm_conv9's note on
+        # closure-capture rematerialization
+        packed_inv = inv[0] if inv is not None else packed[:1]
+        return f(feats, w2d), (feats, w2d, packed, packed_inv, out_valid)
 
-    def _d_feats_fused(w2d, g):
+    def _d_feats_fused(w2d, g, packed_inv):
         """d_features as ANOTHER fused gather over the inverse rulebook:
         gather source = output-row grads, weights = transposed κ blocks
         routed by the pseudo-pair tap map."""
-        packed_inv, wmap = inv
+        _, wmap = inv
         # w2d rows are ((κz·kh+κy), κx-tap, c); flat κ = pair·kw3 + κx
         wk = w2d.reshape(n_pairs, 3, cin, cout)
         if kw3 == 1:
@@ -777,7 +785,7 @@ def strided_conv_packed(
         d = fused_gather_gemm(g, packed_inv, w_inv)
         return d[:v_in]
 
-    def _d_feats_xla(w2d, g):
+    def _d_feats_xla(w2d, g, packed):
         # invert the packed map (injective per (pair, tap)) and run the XLA
         # gather-GEMM with transposed weights
         from efg_tpu.ops import sparse as S
@@ -810,13 +818,16 @@ def strided_conv_packed(
         )
 
     def bwd(res, g):
-        feats, w2d = res
-        g = g * out_valid[:, None].astype(g.dtype)
-        d_fn = _d_feats_fused if inv is not None else _d_feats_xla
-        d_feats = d_fn(w2d, g.astype(jnp.float32)).astype(feats.dtype)
+        feats, w2d, packed_r, packed_inv, ov = res
+        g = g * ov[:, None].astype(g.dtype)
+        if inv is not None:
+            d_feats = _d_feats_fused(w2d, g.astype(jnp.float32), packed_inv)
+        else:
+            d_feats = _d_feats_xla(w2d, g.astype(jnp.float32), packed_r)
+        d_feats = d_feats.astype(feats.dtype)
 
         dw_full = fused_gather_dw(
-            feats, packed, g.astype(jnp.float32), band=band, wslack=wslack
+            feats, packed_r, g.astype(jnp.float32), band=band, wslack=wslack
         )  # [n_pairs·3·cin, O]
         return d_feats, dw_full.astype(w2d.dtype)
 
