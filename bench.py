@@ -61,7 +61,7 @@ def main():
     from efg_tpu.models import centerpoint as CP
 
     variables = model.init(jax.random.key(0), batch["points"][:1], batch["points_mask"][:1], True)
-    tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(3e-3))
+    tx = optax.flatten(optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(3e-3)))
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],

@@ -158,4 +158,10 @@ def build_optimizer(cfg, lr_schedule, momentum_schedule=None, *, grad_clip_cfg=N
         else:
             raise ValueError(f"Unknown clip_type {clip_type}")
         tx = optax.chain(clip, tx)
+    if kind in ("AdamW", "Adam"):
+        # flatten per-leaf updates into ONE fused vector op: ~200 tiny
+        # per-parameter fusions (clip norms + adamw moments) cost ~10 ms
+        # per step on TPU (device trace); tree-structured transforms
+        # (multi_transform / masked) cannot flatten
+        tx = optax.flatten(tx)
     return tx
