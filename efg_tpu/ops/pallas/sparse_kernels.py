@@ -45,6 +45,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -339,23 +340,45 @@ def _prep(packed, v_pos, tile, band, chunkw, pos_shift=3):
     return packed, wstarts.astype(jnp.int32), enc, bounds, sflags, vt
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
-def fused_gather_gemm(
-    features: jax.Array,  # [V_in, C]
-    packed: jax.Array,  # [P=3·G, V_out] int32 packed rulebook (pos monotone/pair)
-    weights: jax.Array,  # [P·3·C, O] rows ordered (pair, tap, channel)
+@struct.dataclass
+class PreppedRule:
+    """A packed rulebook with its kernel-side derived arrays precomputed.
+
+    The per-call `_prep` + pack2 transform cost ~0.5 ms per V=240k call and
+    ran inside EVERY fused kernel invocation (12+ per stage per step —
+    XLA does not CSE them across pallas_call boundaries; measured ~59
+    ms/step of s32 structure fusions in the device trace). Prepping once
+    per stage via `prep_rulebook` and passing this struct removes that."""
+
+    packed: jax.Array  # [G, 3, vt] (pack2-transformed when pack2)
+    wstarts: jax.Array
+    bstarts: jax.Array
+    bounds: jax.Array
+    sflags: jax.Array
+    raw: jax.Array  # original [P, V_out] anchor rulebook
+    v_out: int = struct.field(pytree_node=False)
+    v_pos: int = struct.field(pytree_node=False)  # packed-unit input rows
+    vt: int = struct.field(pytree_node=False)
+    tile: int = struct.field(pytree_node=False)
+    band: int = struct.field(pytree_node=False)
+    chunkw: int = struct.field(pytree_node=False)
+    pack2: bool = struct.field(pytree_node=False)
+    n_groups: int = struct.field(pytree_node=False)
+
+
+def prep_rulebook(
+    packed: jax.Array,  # [P=3·G, V_out] anchor rulebook
+    v_in: int,  # input rows (the range of pos values)
+    cin: int,  # channel count of the gathered features (pre-16-padding ok)
     *,
     tile: int = TILE,
     band: int = BAND,
     wslack: int = WSLACK,
-) -> jax.Array:
-    """out [V_out, O] f32 = the packed-rulebook sparse-conv contraction,
-    fused in Pallas. V_in == V_out for SubM convs; for strided convs the
-    rulebook indexes the input rows from the output sites."""
-    v_in, cin = features.shape
+) -> PreppedRule:
+    cin = _rup(max(cin, 1), 16)
+    raw = packed
     v_out = packed.shape[1]
     n_groups = packed.shape[0] // 3
-    cout = weights.shape[1]
     pack2 = 3 * cin <= 64
     if pack2:  # halve band/window (they count PACKED rows)
         band = _rup(max(band // 2, 32), 16)
@@ -369,6 +392,37 @@ def fused_gather_gemm(
     packed, wstarts, bstarts, bounds, sflags, vt = _prep(
         packed, v_pos, tile, band, chunkw, pos_shift=4 if pack2 else 3
     )
+    return PreppedRule(
+        packed=packed, wstarts=wstarts, bstarts=bstarts, bounds=bounds,
+        sflags=sflags, raw=raw, v_out=v_out, v_pos=v_pos, vt=vt, tile=tile,
+        band=band, chunkw=chunkw, pack2=pack2, n_groups=n_groups,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
+def fused_gather_gemm(
+    features: jax.Array,  # [V_in, C]
+    rule,  # PreppedRule, or a raw [P=3·G, V_out] int32 anchor rulebook
+    weights: jax.Array,  # [P·3·C, O] rows ordered (pair, tap, channel)
+    *,
+    tile: int = TILE,
+    band: int = BAND,
+    wslack: int = WSLACK,
+) -> jax.Array:
+    """out [V_out, O] f32 = the packed-rulebook sparse-conv contraction,
+    fused in Pallas. V_in == V_out for SubM convs; for strided convs the
+    rulebook indexes the input rows from the output sites."""
+    v_in, cin = features.shape
+    if not isinstance(rule, PreppedRule) or rule.pack2 != (3 * _rup(cin, 16) <= 64):
+        raw = rule.raw if isinstance(rule, PreppedRule) else rule
+        rule = prep_rulebook(raw, v_in, cin, tile=tile, band=band, wslack=wslack)
+    cout = weights.shape[1]
+    packed, wstarts, bstarts, bounds, sflags = (
+        rule.packed, rule.wstarts, rule.bstarts, rule.bounds, rule.sflags
+    )
+    v_out, v_pos, vt = rule.v_out, rule.v_pos, rule.vt
+    tile, band, chunkw, pack2 = rule.tile, rule.band, rule.chunkw, rule.pack2
+    n_groups = rule.n_groups
     feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
     c3p = feat3.shape[1]
     n_steps = (vt // tile) * n_groups
@@ -436,7 +490,7 @@ def _dw_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
 @functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
 def fused_gather_dw(
     features: jax.Array,  # [V_in, C]
-    packed: jax.Array,  # [P=3·G, V_out] int32
+    rule,  # PreppedRule, or a raw [P=3·G, V_out] int32 anchor rulebook
     g: jax.Array,  # [V_out, O] upstream grad (pre-masked by out_valid)
     *,
     tile: int = TILE,
@@ -445,22 +499,16 @@ def fused_gather_dw(
 ) -> jax.Array:
     """dW [P·3·C, O] f32 for the packed contraction (rows (pair, tap, c))."""
     v_in, cin = features.shape
-    v_out = packed.shape[1]
-    n_groups = packed.shape[0] // 3
+    if not isinstance(rule, PreppedRule) or rule.pack2 != (3 * _rup(cin, 16) <= 64):
+        raw = rule.raw if isinstance(rule, PreppedRule) else rule
+        rule = prep_rulebook(raw, v_in, cin, tile=tile, band=band, wslack=wslack)
     cout = g.shape[1]
-    pack2 = 3 * cin <= 64
-    if pack2:
-        band = _rup(max(band // 2, 32), 16)
-        wslack = _rup(max(wslack // 2, 64), 16)
-        pos = packed >> 3
-        packed = (pos >> 1) * 16 + (pos & 1) * 8 + (packed & 7)
-        v_pos = -(-v_in // 2)
-    else:
-        v_pos = v_in
-    chunkw = tile + wslack
-    packed, wstarts, bstarts, bounds, sflags, vt = _prep(
-        packed, v_pos, tile, band, chunkw, pos_shift=4 if pack2 else 3
+    packed, wstarts, bstarts, bounds, sflags = (
+        rule.packed, rule.wstarts, rule.bstarts, rule.bounds, rule.sflags
     )
+    v_out, v_pos, vt = rule.v_out, rule.v_pos, rule.vt
+    tile, band, chunkw, pack2 = rule.tile, rule.band, rule.chunkw, rule.pack2
+    n_groups = rule.n_groups
     if vt != v_out:
         g = jnp.pad(g, ((0, vt - v_out), (0, 0)))
     feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
@@ -505,7 +553,7 @@ def fused_gather_dw(
 
 def subm_conv9(
     features: jax.Array,  # [V, C]
-    packed: jax.Array,  # [9, V] int32
+    packed,  # PreppedRule or [9, V] int32 anchor rulebook
     weights: jax.Array,  # [K = 27, C, O] in (pair, δx) raster order
     out_valid: jax.Array,  # [V] bool
 ) -> jax.Array:
@@ -524,6 +572,8 @@ def subm_conv9(
     if cin != cin0:
         features = jnp.pad(features, ((0, 0), (0, cin - cin0)))
         weights = jnp.pad(weights, ((0, 0), (0, cin - cin0), (0, 0)))
+    if not isinstance(packed, PreppedRule):
+        packed = prep_rulebook(packed, features.shape[0], cin)
 
     @jax.custom_vjp
     def f(feats, w):
@@ -721,14 +771,14 @@ def build_monotone_rule_strided(
 
 def strided_conv_packed(
     features: jax.Array,  # [V_in, C]
-    packed: jax.Array,  # [kd·kh, V_out]
+    packed,  # PreppedRule or raw [P, V_out] from the strided builder
     weights: jax.Array,  # [K, C, O], (κz, κy, κx) raster
     out_valid: jax.Array,  # [V_out]
     *,
     kw3: int,  # x extent of the kernel (1 or 3)
     band: int = BAND,
     wslack: int = WSLACK,
-    inv: tuple | None = None,  # (packed_inv, wmap) from the inverse builder
+    inv: tuple | None = None,  # (PreppedRule-or-raw, wmap) inverse rulebook
 ) -> jax.Array:
     """Fused strided-conv forward + dW. d_features runs on the fused kernel
     too when `inv` (the parity pseudo-pair inverse rulebook from
@@ -738,7 +788,7 @@ def strided_conv_packed(
     Channels pad to 16 (like `subm_conv9`); kw=1 kernels zero-pad the
     m/p tap weight blocks."""
     k, cin0, cout = weights.shape
-    n_pairs = packed.shape[0]
+    n_pairs = k // kw3
     cin = _rup(cin0, 16)
     if cin != cin0:
         features = jnp.pad(features, ((0, 0), (0, cin - cin0)))
@@ -750,6 +800,10 @@ def strided_conv_packed(
         wtap = weights.reshape(n_pairs, 3, cin, cout)
     w2d = wtap.reshape(n_pairs * 3 * cin, cout)
     v_in = features.shape[0]
+    if not isinstance(packed, PreppedRule):
+        packed = prep_rulebook(packed, v_in, cin, band=band, wslack=wslack)
+    if inv is not None and not isinstance(inv[0], PreppedRule):
+        inv = (prep_rulebook(inv[0], packed.v_out, cout), inv[1])
 
     @jax.custom_vjp
     def f(feats, w2d):
@@ -759,7 +813,7 @@ def strided_conv_packed(
     def fwd(feats, w2d):
         # residual-carried structure arrays: see subm_conv9's note on
         # closure-capture rematerialization
-        packed_inv = inv[0] if inv is not None else packed[:1]
+        packed_inv = inv[0] if inv is not None else None
         return f(feats, w2d), (feats, w2d, packed, packed_inv, out_valid)
 
     def _d_feats_fused(w2d, g, packed_inv):
@@ -785,11 +839,12 @@ def strided_conv_packed(
         d = fused_gather_gemm(g, packed_inv, w_inv)
         return d[:v_in]
 
-    def _d_feats_xla(w2d, g, packed):
+    def _d_feats_xla(w2d, g, rule):
         # invert the packed map (injective per (pair, tap)) and run the XLA
         # gather-GEMM with transposed weights
         from efg_tpu.ops import sparse as S
 
+        packed = rule.raw
         pos = packed >> 3
         v_out = packed.shape[1]
         rng = jnp.arange(v_out, dtype=jnp.int32)

@@ -539,12 +539,15 @@ class PackedRule9(tuple):
 
 
 def build_rulebook(st: SparseTensor, kernel_size: int = 3, backend: str = "xla"):
-    """Backend-appropriate SubM rulebook: XLA rule9 tuple or the packed
-    monotone [P, V] int32 array the Pallas kernel consumes."""
+    """Backend-appropriate SubM rulebook: XLA rule9 tuple or the PREPPED
+    packed monotone rulebook the Pallas kernels consume (prepped once per
+    stage — the kernel-side derived arrays are shared by every SubM layer,
+    forward and backward, of the stage)."""
     if backend == "pallas":
         from efg_tpu.ops.pallas import sparse_kernels as PK
 
-        return PackedRule9(PK.build_monotone_rule9(st, kernel_size))
+        raw = PK.build_monotone_rule9(st, kernel_size)
+        return PackedRule9(PK.prep_rulebook(raw, st.capacity, st.num_channels))
     return build_subm_rulebook9(st, kernel_size)
 
 
@@ -698,10 +701,10 @@ def spconv_downsample(
     if backend == "pallas" and kw in (1, 3) and (kh == 3 or kw == 1):
         from efg_tpu.ops.pallas import sparse_kernels as PK
 
-        packed = PK.build_monotone_rule_strided(
+        packed_raw = PK.build_monotone_rule_strided(
             st, ob, ozc, oyc, oxc, out_valid, ks, s, p
         )
-        inv = PK.build_monotone_rule_strided_inverse(
+        inv_raw, wmap = PK.build_monotone_rule_strided_inverse(
             st, out_keys, (od, oh, ow), ks, s, p
         )
         w_eff = weights
@@ -722,6 +725,12 @@ def spconv_downsample(
         ratio = max(1, -(-st.capacity // max_out))
         band = -(-(128 * ratio + 64) // 16) * 16  # swept: wider beats tight
         wslack = PK.TILE * (ratio - 1) + 2 * band + 256
+        cin_w = w_eff.shape[1]
+        cout_w = w_eff.shape[2]
+        packed = PK.prep_rulebook(
+            packed_raw, st.capacity, cin_w, band=band, wslack=wslack
+        )
+        inv = (PK.prep_rulebook(inv_raw, max_out, cout_w), wmap)
         out_feats = PK.strided_conv_packed(
             st.features, packed, w_eff, out_valid, kw3=kw,
             band=band, wslack=wslack, inv=inv,
