@@ -392,6 +392,13 @@ def prep_rulebook(
     packed, wstarts, bstarts, bounds, sflags, vt = _prep(
         packed, v_pos, tile, band, chunkw, pos_shift=4 if pack2 else 3
     )
+    # materialize ONCE: without the barrier XLA duplicates these cheap s32
+    # producer chains (and the expensive table gathers feeding them) into
+    # every consumer fusion across the 12+ kernel calls of a stage
+    # (measured ~35 extra s32[V] fusions per step in the device trace)
+    packed, wstarts, bstarts, bounds, sflags = jax.lax.optimization_barrier(
+        (packed, wstarts, bstarts, bounds, sflags)
+    )
     return PreppedRule(
         packed=packed, wstarts=wstarts, bstarts=bstarts, bounds=bounds,
         sflags=sflags, raw=raw, v_out=v_out, v_pos=v_pos, vt=vt, tile=tile,
@@ -971,24 +978,28 @@ def build_monotone_rule_strided_inverse(
             base = ((b * od + oz) * oh + oy) * ow
 
             if kw3 == 3 and sw == 2:
+                # the A (κx∈{2,0}, x+pw even) and B (κx=1, odd) parity
+                # pairs partition the rows, and their merged query is still
+                # monotone — ONE tri-gather serves both (halves the
+                # builder's gather rows), flags split by parity afterwards
                 par_even = (x + pw) % 2 == 0
-                oxa = (x + pw) // 2 - 1  # κx=2 output; κx=0 at oxa+1
+                oxa = (x + pw) // 2 - 1  # A: κx=2 output; κx=0 at oxa+1
+                oxb = (x + pw - 1) // 2  # B: κx=1 output
+                oxm = jnp.where(par_even, oxa, oxb)
                 okA = okzy & par_even
-                rows.append(lookup3(
-                    base + oxa,
-                    jnp.zeros_like(okA),
-                    okA & (oxa >= 0) & (oxa < ow),
-                    okA & (oxa + 1 >= 0) & (oxa + 1 < ow),
-                ))
-                wmap.append((-1, kflat + 2, kflat + 0))
-                oxb = (x + pw - 1) // 2  # κx=1 output
                 okB = okzy & ~par_even
-                rows.append(lookup3(
-                    base + oxb,
-                    jnp.zeros_like(okB),
-                    okB & (oxb >= 0) & (oxb < ow),
-                    jnp.zeros_like(okB),
-                ))
+                pk_m = lookup3(
+                    base + oxm,
+                    jnp.zeros_like(okzy),
+                    okzy & (oxm >= 0) & (oxm < ow),
+                    okA & (oxm + 1 >= 0) & (oxm + 1 < ow),
+                )
+                pos_f = (pk_m >> 3) * 8
+                f0 = (pk_m >> 1) & 1
+                fp = pk_m & 1
+                rows.append(pos_f + (f0 & okA.astype(jnp.int32)) * 2 + fp)
+                wmap.append((-1, kflat + 2, kflat + 0))
+                rows.append(pos_f + (f0 & okB.astype(jnp.int32)) * 2)
                 wmap.append((-1, kflat + 1, -1))
             elif kw3 == 3 and sw == 1:
                 oxm = x + pw - 1  # κx=1 output; κx=2 at oxm−1, κx=0 at oxm+1
