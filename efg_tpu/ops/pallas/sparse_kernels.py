@@ -679,7 +679,7 @@ def build_monotone_rule9(st, kernel_size: int = 3) -> jax.Array:
                 + f0.astype(jnp.int32) * 2
                 + fp.astype(jnp.int32)
             )
-    return jnp.stack(rows)  # [P, V] int32
+    return jax.lax.optimization_barrier(jnp.stack(rows))  # [P, V] int32
 
 
 def build_monotone_rule_strided(
@@ -773,7 +773,7 @@ def build_monotone_rule_strided(
             dummy = (r >> 3) * 8
             expanded += [r, dummy, dummy]
         rows = expanded
-    return jnp.stack(rows)  # [P, V_out]
+    return jax.lax.optimization_barrier(jnp.stack(rows))  # [P, V_out]
 
 
 def strided_conv_packed(
@@ -1037,4 +1037,4 @@ def build_monotone_rule_strided_inverse(
     while len(rows) % 3:  # pad to the kernel's 3-pair group granularity
         rows.append(jnp.full_like(rows[0], v_out * 8))
         wmap.append((-1, -1, -1))
-    return jnp.stack(rows), tuple(wmap)
+    return jax.lax.optimization_barrier(jnp.stack(rows)), tuple(wmap)
