@@ -127,6 +127,15 @@ class DefaultTrainer:
         tx = self.tx
 
         seed = max(0, int(self.config.misc.get("seed", 0) or 0))
+        # loss_fns that declare an `rng` parameter get the per-step key
+        # (fresh point sampling per iteration, e.g. Mask2Former PointRend).
+        import inspect
+
+        loss_takes_rng = False
+        try:
+            loss_takes_rng = "rng" in inspect.signature(model_def.loss_fn).parameters
+        except (TypeError, ValueError):
+            pass
 
         def step_fn(state: TrainState, batch: Dict[str, Any]):
             rng = jax.random.fold_in(jax.random.key(seed), state.step)
@@ -144,7 +153,10 @@ class DefaultTrainer:
                     **kwargs, train=True, mutable=["batch_stats"],
                     rngs={"dropout": rng},
                 )
-                losses = model_def.loss_fn(preds, batch)
+                if loss_takes_rng:
+                    losses = model_def.loss_fn(preds, batch, rng=jax.random.fold_in(rng, 1))
+                else:
+                    losses = model_def.loss_fn(preds, batch)
                 return losses["loss"], (losses, mutated.get("batch_stats", state.batch_stats))
 
             (loss, (losses, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(

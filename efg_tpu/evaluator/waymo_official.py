@@ -200,7 +200,10 @@ def compute_ap(
     p = np.maximum.accumulate(p[::-1])[::-1]
 
     ap = 0.0
-    prev_r, prev_p = 0.0, 1.0
+    # seed the running precision from the first (highest-cutoff) sampled
+    # precision, NOT 1.0 — the official curve only interpolates from
+    # sampled precisions, so gap filling must never exceed observed values
+    prev_r, prev_p = 0.0, (float(p[0]) if len(p) else 0.0)
     for ri, pi in zip(r, p):
         delta = ri - prev_r
         if delta <= 0:

@@ -128,25 +128,63 @@ class Pointclouds:
         s = np.broadcast_to(np.asarray(s, np.float32).reshape(-1), (len(self._list),))
         return self.update_padded(self._padded * s[:, None, None])
 
+    def _aux_lists(self):
+        """Per-cloud (normals, features) lists trimmed to valid lengths."""
+        nrm = (
+            [self._normals[i, :l] for i, l in enumerate(self._lengths)]
+            if self._normals is not None
+            else None
+        )
+        feat = (
+            [self._features[i, :l] for i, l in enumerate(self._lengths)]
+            if self._features is not None
+            else None
+        )
+        return nrm, feat
+
     def subsample(self, max_points: int, seed: int = 0) -> "Pointclouds":
-        """Random subset per cloud, at most max_points (reference behavior)."""
+        """Random subset per cloud, at most max_points (reference behavior).
+        Normals/features follow the same point selection."""
         rs = np.random.RandomState(seed)
-        pts = []
-        for p in self._list:
+        nrm, feat = self._aux_lists()
+        pts, new_nrm, new_feat = [], [], []
+        for i, p in enumerate(self._list):
             if len(p) <= max_points:
-                pts.append(p)
+                sel = slice(None)
             else:
-                pts.append(p[rs.choice(len(p), max_points, replace=False)])
-        return Pointclouds(pts)
+                sel = rs.choice(len(p), max_points, replace=False)
+            pts.append(p[sel])
+            if nrm is not None:
+                new_nrm.append(nrm[i][sel])
+            if feat is not None:
+                new_feat.append(feat[i][sel])
+        return Pointclouds(
+            pts,
+            normals=new_nrm if nrm is not None else None,
+            features=new_feat if feat is not None else None,
+        )
 
     def extend(self, n: int) -> "Pointclouds":
-        """Each cloud repeated n times, grouped (reference `extend`)."""
-        return Pointclouds([p for p in self._list for _ in range(n)])
+        """Each cloud repeated n times, grouped (reference `extend`);
+        normals/features repeat with their cloud."""
+        nrm, feat = self._aux_lists()
+        return Pointclouds(
+            [p for p in self._list for _ in range(n)],
+            normals=[a for a in nrm for _ in range(n)] if nrm is not None else None,
+            features=[a for a in feat for _ in range(n)] if feat is not None else None,
+        )
 
     def split(self, sizes: List[int]) -> List["Pointclouds"]:
+        nrm, feat = self._aux_lists()
         out, i = [], 0
         for s in sizes:
-            out.append(Pointclouds(self._list[i : i + s]))
+            out.append(
+                Pointclouds(
+                    self._list[i : i + s],
+                    normals=nrm[i : i + s] if nrm is not None else None,
+                    features=feat[i : i + s] if feat is not None else None,
+                )
+            )
             i += s
         assert i == len(self._list)
         return out

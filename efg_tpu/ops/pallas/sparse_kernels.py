@@ -762,12 +762,13 @@ def build_monotone_rule_strided(
                 + f0.astype(jnp.int32) * 2
                 + fp.astype(jnp.int32)
             )
-    if kh == 1 and kd > 1:
+    if kh == 1:
         # pairs are per-κz and query DIFFERENT z-planes; the kernel windows
         # one group of 3 pairs together, so give each κz its own group
         # padded with zero-flag dummies that share its positions (window
         # stays tight, taps contribute nothing). Caller zero-pads weights
-        # to match (see `spconv_downsample`).
+        # to match (see `spconv_downsample`). Applies to kd == 1 too so a
+        # (1, 1, 1) kernel still meets the 3-per-group granularity.
         expanded = []
         for r in rows:
             dummy = (r >> 3) * 8

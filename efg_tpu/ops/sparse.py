@@ -698,7 +698,7 @@ def spconv_downsample(
     kd, kh, kw = ks
     cap_in = st.capacity
 
-    if backend == "pallas" and kw in (1, 3) and (kh == 3 or kw == 1):
+    if backend == "pallas" and kw in (1, 3) and (kh == 3 or (kw == 1 and kh == 1)):
         from efg_tpu.ops.pallas import sparse_kernels as PK
 
         packed_raw = PK.build_monotone_rule_strided(
@@ -708,7 +708,7 @@ def spconv_downsample(
             st, out_keys, (od, oh, ow), ks, s, p
         )
         w_eff = weights
-        if kh == 1 and kd > 1:
+        if kh == 1:
             # builders expanded each κz pair to its own group of 3 (see
             # build_monotone_rule_strided): zero-pad the weight pairs to
             # match [κ0, 0, 0, κ1, 0, 0, …]

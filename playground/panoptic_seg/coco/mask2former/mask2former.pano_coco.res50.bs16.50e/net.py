@@ -18,8 +18,11 @@ def build_model(config):
     def apply_args(batch):
         return dict(images=batch["images"])
 
-    def loss_fn(preds, batch):
-        return M2F.compute_loss(preds, batch, model_cfg=cfg, rng=jax.random.key(0))
+    def loss_fn(preds, batch, rng=None):
+        # the trainer threads its per-step rng in; fall back for direct calls
+        if rng is None:
+            rng = jax.random.key(0)
+        return M2F.compute_loss(preds, batch, model_cfg=cfg, rng=rng)
 
     def predict_fn(preds, batch):
         return M2F.predict_instance(preds, model_cfg=cfg)
