@@ -16,7 +16,7 @@ Notable deliberate fix vs the reference: its dn positive index uses
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -76,9 +76,15 @@ def prepare_cdn(
     box_noise_scale: float,
     num_classes: int,
     num_queries: int,
+    noise_override: Optional[Dict[str, jax.Array]] = None,
 ):
     """Returns dn_ref [B, P, 10] (P = 2·G·dn_number), attn_mask
-    [(P+Q), (P+Q)] (True = attend), dn_valid [B, P]."""
+    [(P+Q), (P+Q)] (True = attend), dn_valid [B, P].
+
+    `noise_override` (tests): dict with keys flip [B,P] bool, rand_lbl
+    [B,P] int, sign [B,P,7] ±1, rand [B,P,7] uniform — replaces the
+    internal draws so the construction can be compared bit-for-bit against
+    the reference `cdn.py` under patched torch RNG."""
     b, g, _ = gt_boxes_norm.shape
     p = 2 * g * dn_number
     k_lbl, k_box, k_sign, k_flip = jax.random.split(rng, 4)
@@ -94,8 +100,12 @@ def prepare_cdn(
     is_neg = jnp.tile(half, (dn_number,))[None, :]  # [1, P]
 
     # label noise (reference flips w.p. ratio/2 to a uniform class)
-    flip = jax.random.uniform(k_flip, (b, p)) < (label_noise_ratio * 0.5)
-    rand_lbl = jax.random.randint(k_lbl, (b, p), 0, num_classes)
+    if noise_override is not None:
+        flip = noise_override["flip"]
+        rand_lbl = noise_override["rand_lbl"]
+    else:
+        flip = jax.random.uniform(k_flip, (b, p)) < (label_noise_ratio * 0.5)
+        rand_lbl = jax.random.randint(k_lbl, (b, p), 0, num_classes)
     noised_labels = jnp.where(flip, rand_lbl, labels)
 
     # box noise in corner form for xyz, direct for the rest
@@ -105,8 +115,12 @@ def prepare_cdn(
         [boxes[..., 3:6] / 2, boxes[..., 3:6] / 2, jnp.full_like(boxes[..., 6:7], 0.1)],
         axis=-1,
     )
-    sign = jax.random.randint(k_sign, (b, p, 7), 0, 2).astype(boxes.dtype) * 2 - 1
-    rand = jax.random.uniform(k_box, (b, p, 7))
+    if noise_override is not None:
+        sign = noise_override["sign"].astype(boxes.dtype)
+        rand = noise_override["rand"]
+    else:
+        sign = jax.random.randint(k_sign, (b, p, 7), 0, 2).astype(boxes.dtype) * 2 - 1
+        rand = jax.random.uniform(k_box, (b, p, 7))
     rand = rand + is_neg[..., None].astype(rand.dtype)  # negatives pushed out
     noise = sign * rand * diff * box_noise_scale
     corner = jnp.concatenate([lo, hi, boxes[..., 6:7]], axis=-1) + noise
