@@ -613,6 +613,119 @@ def subm_conv9(
 
 
 # ---------------------------------------------------------------------------
+# merge-join rank/flags kernel — the rulebook builders' core
+# ---------------------------------------------------------------------------
+
+# Query values at or above this threshold are treated as +inf (invalid /
+# padding). Valid linear keys are < 2^28 at Waymo scale, and per-pair query
+# deltas add < 2^23, so 2^29 is safely above every real query.
+INVALID_Q = 1 << 29
+_CLAMP_Q = 1 << 30  # canonical +inf value keys/queries are clamped to
+
+
+def _rank_kernel(wrow_ref, nrows_ref, qT_ref, keys_ref, out_ref, *, nb: int):
+    """Per band of 128 sorted queries: count keys < q and flag the presence
+    of q−1 / q / q+1, scanning only the [wrow, wrow+nrows) key rows the
+    host-side searchsorted bounded. All compares run VMEM→VPU as [128, 128]
+    broadcast ops — no HBM gathers, no dense tables (the round-2 structure
+    wall: ~190 table-gather passes ≈ 70 ms/step, re-run by XLA's
+    rematerializer in the backward region; a custom-call is never remat'd).
+    """
+    t = pl.program_id(0)
+    for b in range(nb):
+        q = qT_ref[0, :, b : b + 1]  # [128, 1]
+        base = wrow_ref[t * nb + b]
+        nr = nrows_ref[t * nb + b]
+        qm1 = q - 1
+        qp1 = q + 1
+
+        def body(r, accs, base=base, q=q, qm1=qm1, qp1=qp1):
+            al, ae = accs
+            k = keys_ref[pl.ds(base + r, 1), :]  # [1, 128]
+            lt = (k < q).astype(jnp.int32)
+            # eq fields: q−1 in bits 0..9, q in 10..19, q+1 in 20..29
+            # (valid queries match ≤1 key; only +inf padding queries can
+            # rack up counts, and their window is 1-2 rows → ≤ 256 < 1024)
+            eq = (
+                (k == qm1).astype(jnp.int32)
+                + jnp.where(k == q, 1 << 10, 0)
+                + jnp.where(k == qp1, 1 << 20, 0)
+            )
+            return al + lt, ae + eq
+
+        zero = jnp.zeros((128, 128), jnp.int32)
+        al, ae = jax.lax.fori_loop(0, nr, body, (zero, zero))
+        cnt = base * 128 + jnp.sum(al, axis=1, keepdims=True)  # [128, 1]
+        es = jnp.sum(ae, axis=1, keepdims=True)
+        fm = jnp.minimum(es & 1023, 1)
+        f0 = jnp.minimum((es >> 10) & 1023, 1)
+        fp = jnp.minimum((es >> 20) & 1023, 1)
+        out_ref[0, :, b : b + 1] = cnt * 8 + fm * 4 + f0 * 2 + fp
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8):
+    """keys [Vk] i32 sorted ascending (entries ≥ INVALID_Q = padding);
+    queries [P, Vq] i32, non-decreasing per row (≥ INVALID_Q = padding).
+    Returns packed [P, Vq] i32 = count(valid keys < q)·8 + (q−1∈keys)·4 +
+    (q∈keys)·2 + (q+1∈keys)·1. Flags at padding queries are garbage — the
+    caller masks them. `count` is exactly searchsorted-left, monotone per
+    row, so the result is a valid anchor-format rulebook row."""
+    vk = keys.shape[0]
+    p, vq = queries.shape
+    keys_c = jnp.minimum(keys, _CLAMP_Q)
+    kr = _cdiv(vk, 128)
+    keys2d = jnp.pad(
+        keys_c, (0, kr * 128 - vk), constant_values=_CLAMP_Q
+    ).reshape(kr, 128)
+    tile = nb * 128
+    vqp = _rup(vq, tile)
+    qp = jnp.pad(
+        jnp.where(queries >= INVALID_Q, _CLAMP_Q, queries),
+        ((0, 0), (0, vqp - vq)),
+        constant_values=_CLAMP_Q,
+    )
+    nt = vqp // tile
+    nbands = vqp // 128
+    # per-band key-row windows from ONE vectorized searchsorted over the
+    # band-start queries (P·Vq/128 queries ≈ 17k at Waymo s0 — ~1 ms,
+    # replacing ~35 ms of full-size table gathers + cummax)
+    qs = qp[:, ::128]
+    pos = (
+        jnp.searchsorted(keys2d.reshape(-1), qs.reshape(-1), side="left")
+        .astype(jnp.int32)
+        .reshape(p, nbands)
+    )
+    nxt = jnp.concatenate(
+        [pos[:, 1:], jnp.full((p, 1), kr * 128 - 1, jnp.int32)], axis=1
+    )
+    wrow = pos // 128
+    last = jnp.minimum((nxt + 1) // 128, kr - 1)
+    nrows = jnp.maximum(last - wrow + 1, 1)
+    qT = qp.reshape(p, nt, nb, 128).transpose(0, 1, 3, 2).reshape(p * nt, 128, nb)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(p * nt,),
+        in_specs=[
+            pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # keys2d resident
+        ],
+        out_specs=pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_rank_kernel, nb=nb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((p * nt, 128, nb), jnp.int32),
+        interpret=_INTERPRET,
+    )(wrow.reshape(-1), nrows.reshape(-1), qT, keys2d)
+    packed = (
+        out.reshape(p, nt, 128, nb).transpose(0, 1, 3, 2).reshape(p, vqp)[:, :vq]
+    )
+    return packed
+
+
+# ---------------------------------------------------------------------------
 # monotone rulebook builders (packed anchor format)
 # ---------------------------------------------------------------------------
 
@@ -621,65 +734,40 @@ def build_monotone_rule9(st, kernel_size: int = 3) -> jax.Array:
     """SubM rulebook, packed anchor format: [P, V] int32 = pos·8 + fm·4 +
     f0·2 + fp, P = kd·kh, pos monotone in v per pair.
 
-    Small grids go through a dense cell→row index table (one scatter + one
-    3-wide gather per pair — far faster than searchsorted); `pos` at
-    not-found rows is backfilled with a running max so it stays monotone
-    (only rows with a found tap need the true insertion position; the
-    window logic needs monotonicity everywhere).
+    Queries for pair (δz, δy) are `keys + Δ` (monotone), ranked against the
+    sorted keys by the merge-join kernel; boundary masks (grid edges in
+    z/y, x wrap) are applied to the flags afterwards — pos = searchsorted
+    count is monotone everywhere by construction, no backfill needed.
     """
-    from efg_tpu.ops import sparse as S
-
     kd, kh, kw = (kernel_size,) * 3 if isinstance(kernel_size, int) else kernel_size
     assert kw == 3
     d, h, w = st.spatial_shape
-    cap = st.capacity
     x = st.coords[:, 3]
 
-    use_table = S._grid_cells(st) <= S.DENSE_GRID_LIMIT
-    table = S._make_index_table(st) if use_table else None
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-
-    rows = []
+    # invalid rows → +inf tail; _CLAMP_Q (not INVALID_Q) so that adding a
+    # negative Δ keeps the query ≥ INVALID_Q (still treated as padding)
+    key_base = jnp.where(st.valid, st.keys, _CLAMP_Q)
+    queries, masks = [], []
     for dz in range(-(kd - 1) // 2, (kd - 1) // 2 + 1):
         for dy in range(-(kh - 1) // 2, (kh - 1) // 2 + 1):
             delta = (dz * h + dy) * w
             nz = st.coords[:, 1] + dz
             ny = st.coords[:, 2] + dy
             ok0 = st.valid & (nz >= 0) & (nz < d) & (ny >= 0) & (ny < h)
-            if use_table:
-                q0 = jnp.where(ok0, st.keys + delta, 0)
-                tri = jax.lax.gather(
-                    table, q0[:, None], dnums, slice_sizes=(3,),
-                    mode=jax.lax.GatherScatterMode.CLIP,
-                )  # rows at keys (q0-1, q0, q0+1); table is 1-padded
-                im = jnp.where(ok0 & (x - 1 >= 0), tri[:, 0], -1)
-                i0 = jnp.where(ok0, tri[:, 1], -1)
-                ip = jnp.where(ok0 & (x + 1 < w), tri[:, 2], -1)
-                fm, f0, fp = im >= 0, i0 >= 0, ip >= 0
-                # insertion position of the middle query where something found
-                pos = jnp.where(
-                    f0, i0, jnp.where(fp, ip, jnp.where(fm, im + 1, -1))
-                )
-                # monotone backfill for not-found rows
-                pos = jnp.maximum(jax.lax.cummax(pos), 0)
-            else:
-                q = jnp.where(st.valid, st.keys + delta, S._SENTINEL)
-                pos = jnp.searchsorted(st.keys, q, side="left").astype(jnp.int32)
-                posc = jnp.minimum(pos, cap - 1)
-                f0 = (st.keys[posc] == q) & ok0
-                pm = jnp.clip(pos - 1, 0, cap - 1)
-                fm = (st.keys[pm] == q - 1) & ok0 & (x - 1 >= 0) & (pos > 0)
-                pp = jnp.minimum(pos + f0.astype(jnp.int32), cap - 1)
-                fp = (st.keys[pp] == q + 1) & ok0 & (x + 1 < w)
-            rows.append(
-                pos * 8
-                + fm.astype(jnp.int32) * 4
-                + f0.astype(jnp.int32) * 2
-                + fp.astype(jnp.int32)
-            )
-    return jax.lax.optimization_barrier(jnp.stack(rows))  # [P, V] int32
+            queries.append(key_base + delta)
+            masks.append(ok0)
+    packed = merge_rank_flags(st.keys, jnp.stack(queries))  # [P, V]
+    ok0 = jnp.stack(masks)
+    okm = (ok0 & (x - 1 >= 0)[None]).astype(jnp.int32)
+    okp = (ok0 & (x + 1 < w)[None]).astype(jnp.int32)
+    ok0 = ok0.astype(jnp.int32)
+    packed = (
+        (packed & ~7)
+        | (((packed >> 2) & 1) & okm) * 4
+        | (((packed >> 1) & 1) & ok0) * 2
+        | ((packed & 1) & okp)
+    )
+    return jax.lax.optimization_barrier(packed)
 
 
 def build_monotone_rule_strided(
@@ -695,26 +783,18 @@ def build_monotone_rule_strided(
     pattern exactly. kw=1 (e.g. the (3,1,1) z-downsample) emits middle-only
     flags; the caller zero-pads the m/p weight blocks.
 
-    Rows with out-of-grid (κz, κy) or invalid sites keep a monotone `pos`
-    via running-max backfill (the kernel's band/window logic requires
-    monotone positions; flags alone carry correctness).
+    Queries `in = o·s − p + κ` are linear in the output's sorted (b, oz,
+    oy, ox) order, hence monotone per pair; invalid output rows map to the
+    +inf tail; ranks come from the merge-join kernel and boundary masks are
+    applied to the flags afterwards.
     """
-    from efg_tpu.ops import sparse as S
-
     kd, kh, kw3 = kernel_size
     sd, sh, sw = stride
     pd, ph, pw = padding
     assert kw3 in (1, 3)
     d, h, w = st_in.spatial_shape
-    cap = st_in.capacity
-    cells = S._grid_cells(st_in)
-    use_table = cells <= S.DENSE_GRID_LIMIT
-    table = S._make_index_table(st_in) if use_table else None
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
 
-    rows = []
+    queries, mm, m0, mp = [], [], [], []
     for kz in range(kd):
         for ky in range(kh):
             iz = oz * sd - pd + kz
@@ -728,40 +808,20 @@ def build_monotone_rule_strided(
                 okm = okp = jnp.zeros_like(ok_zy)
             ok0 = ok_zy & (ix_mid >= 0) & (ix_mid < w)
             q0 = ((ob * d + iz) * h + iy) * w + ix_mid
-            q0 = jnp.clip(q0, 0, cells - 1)
-            if use_table:
-                tri = jax.lax.gather(
-                    table, q0[:, None], dnums, slice_sizes=(3,),
-                    mode=jax.lax.GatherScatterMode.CLIP,
-                )  # rows at keys (q0−1, q0, q0+1); table is 1-padded
-                im = jnp.where(okm, tri[:, 0], -1)
-                i0 = jnp.where(ok0, tri[:, 1], -1)
-                ip = jnp.where(okp, tri[:, 2], -1)
-                fm, f0, fp = im >= 0, i0 >= 0, ip >= 0
-                pos = jnp.where(
-                    f0, i0, jnp.where(fp, ip, jnp.where(fm, im + 1, -1))
-                )
-                pos = jnp.maximum(jax.lax.cummax(pos), 0)
-            else:
-                qq = jnp.where(ok_zy, q0, -1)
-                pos_raw = jnp.searchsorted(st_in.keys, q0, side="left").astype(
-                    jnp.int32
-                )
-                posc = jnp.minimum(pos_raw, cap - 1)
-                f0 = (st_in.keys[posc] == q0) & ok0
-                pm = jnp.clip(pos_raw - 1, 0, cap - 1)
-                fm = (st_in.keys[pm] == q0 - 1) & okm & (pos_raw > 0)
-                pp = jnp.minimum(pos_raw + f0.astype(jnp.int32), cap - 1)
-                fp = (st_in.keys[pp] == q0 + 1) & okp
-                pos = jnp.maximum(
-                    jax.lax.cummax(jnp.where(qq >= 0, pos_raw, -1)), 0
-                )
-            rows.append(
-                pos * 8
-                + fm.astype(jnp.int32) * 4
-                + f0.astype(jnp.int32) * 2
-                + fp.astype(jnp.int32)
-            )
+            queries.append(jnp.where(out_valid, q0, _CLAMP_Q))
+            mm.append(okm)
+            m0.append(ok0)
+            mp.append(okp)
+    packed = merge_rank_flags(st_in.keys, jnp.stack(queries))
+    okm = jnp.stack(mm).astype(jnp.int32)
+    ok0 = jnp.stack(m0).astype(jnp.int32)
+    okp = jnp.stack(mp).astype(jnp.int32)
+    rows = list(
+        (packed & ~7)
+        | (((packed >> 2) & 1) & okm) * 4
+        | (((packed >> 1) & 1) & ok0) * 2
+        | ((packed & 1) & okp)
+    )
     if kh == 1:
         # pairs are per-κz and query DIFFERENT z-planes; the kernel windows
         # one group of 3 pairs together, so give each κz its own group
@@ -927,43 +987,33 @@ def build_monotone_rule_strided_inverse(
     cells = st_in.batch_size * od * oh * ow
     assert cells < 2**31
 
-    # dense output-grid index table (1-padded for 3-wide gathers)
-    tbl_idx = jnp.where(out_keys >= 0, out_keys + 1, cells + 2)
-    table = (
-        jnp.full(cells + 3, -1, jnp.int32)
-        .at[tbl_idx]
-        .set(jnp.arange(v_out, dtype=jnp.int32), mode="drop")[: cells + 2]
-    )
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-
     b = st_in.coords[:, 0]
     z = st_in.coords[:, 1]
     y = st_in.coords[:, 2]
     x = st_in.coords[:, 3]
 
-    def lookup3(q, okm, ok0, okp):
-        """rows of output keys (q−1, q, q+1) + packed word with anchor pos."""
-        qc = jnp.clip(q, 0, cells - 1)
-        tri = jax.lax.gather(
-            table, qc[:, None], dnums, slice_sizes=(3,),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )
-        im = jnp.where(okm, tri[:, 0], -1)
-        i0 = jnp.where(ok0, tri[:, 1], -1)
-        ip = jnp.where(okp, tri[:, 2], -1)
-        fm, f0, fp = im >= 0, i0 >= 0, ip >= 0
-        pos = jnp.where(f0, i0, jnp.where(fp, ip, jnp.where(fm, im + 1, -1)))
-        pos = jnp.maximum(jax.lax.cummax(pos), 0)
-        return (
-            pos * 8
-            + fm.astype(jnp.int32) * 4
-            + f0.astype(jnp.int32) * 2
-            + fp.astype(jnp.int32)
-        )
+    # first pass collects queries + flag masks per (κz, κy); one merge-join
+    # kernel call ranks them all against the sorted out_keys; `fixups` then
+    # split each ranked row into its pseudo-pairs. The raw query is only
+    # monotone over the rows whose (z, y) parities match the pair (floor
+    # divisions reuse the same output line for sh consecutive y's), so
+    # non-participating rows are backfilled with a running max — the kernel
+    # requires globally monotone query rows.
+    _q, _mm, _m0, _mp = [], [], [], []
 
-    rows, wmap = [], []
+    def lookup3(q, okm, ok0, okp):
+        ok_any = okm | ok0 | okp
+        qv = jnp.maximum(
+            jax.lax.cummax(jnp.where(ok_any, q, jnp.iinfo(jnp.int32).min)), 0
+        )
+        _q.append(jnp.where(st_in.valid, qv, _CLAMP_Q))
+        _mm.append(okm)
+        _m0.append(ok0)
+        _mp.append(okp)
+        return len(_q) - 1  # placeholder index resolved after the kernel
+
+    fixups = []  # (query index, fn(packed_row) → [final rows])
+    wmap = []
     for kz in range(kd):
         for ky in range(kh):
             ozn = z + pd - kz
@@ -981,44 +1031,66 @@ def build_monotone_rule_strided_inverse(
             if kw3 == 3 and sw == 2:
                 # the A (κx∈{2,0}, x+pw even) and B (κx=1, odd) parity
                 # pairs partition the rows, and their merged query is still
-                # monotone — ONE tri-gather serves both (halves the
-                # builder's gather rows), flags split by parity afterwards
+                # monotone — ONE ranked row serves both (halves the
+                # builder's kernel work), flags split by parity afterwards
                 par_even = (x + pw) % 2 == 0
                 oxa = (x + pw) // 2 - 1  # A: κx=2 output; κx=0 at oxa+1
                 oxb = (x + pw - 1) // 2  # B: κx=1 output
                 oxm = jnp.where(par_even, oxa, oxb)
                 okA = okzy & par_even
                 okB = okzy & ~par_even
-                pk_m = lookup3(
+                qi = lookup3(
                     base + oxm,
                     jnp.zeros_like(okzy),
                     okzy & (oxm >= 0) & (oxm < ow),
                     okA & (oxm + 1 >= 0) & (oxm + 1 < ow),
                 )
-                pos_f = (pk_m >> 3) * 8
-                f0 = (pk_m >> 1) & 1
-                fp = pk_m & 1
-                rows.append(pos_f + (f0 & okA.astype(jnp.int32)) * 2 + fp)
+
+                def split_ab(pk_m, okA=okA, okB=okB):
+                    pos_f = (pk_m >> 3) * 8
+                    f0 = (pk_m >> 1) & 1
+                    fp = pk_m & 1
+                    return [
+                        pos_f + (f0 & okA.astype(jnp.int32)) * 2 + fp,
+                        pos_f + (f0 & okB.astype(jnp.int32)) * 2,
+                    ]
+
+                fixups.append((qi, split_ab))
                 wmap.append((-1, kflat + 2, kflat + 0))
-                rows.append(pos_f + (f0 & okB.astype(jnp.int32)) * 2)
                 wmap.append((-1, kflat + 1, -1))
             elif kw3 == 3 and sw == 1:
                 oxm = x + pw - 1  # κx=1 output; κx=2 at oxm−1, κx=0 at oxm+1
-                rows.append(lookup3(
+                qi = lookup3(
                     base + oxm,
                     okzy & (oxm - 1 >= 0) & (oxm - 1 < ow),
                     okzy & (oxm >= 0) & (oxm < ow),
                     okzy & (oxm + 1 >= 0) & (oxm + 1 < ow),
-                ))
+                )
+                fixups.append((qi, lambda pk: [pk]))
                 wmap.append((kflat + 2, kflat + 1, kflat + 0))
             else:  # kw3 == 1
                 oxn = x + pw
                 ox = oxn // sw
                 ok = okzy & (oxn % sw == 0) & (ox >= 0) & (ox < ow)
-                rows.append(lookup3(
+                qi = lookup3(
                     base + ox, jnp.zeros_like(ok), ok, jnp.zeros_like(ok)
-                ))
+                )
+                fixups.append((qi, lambda pk: [pk]))
                 wmap.append((-1, kflat, -1))
+
+    ranked = merge_rank_flags(out_keys, jnp.stack(_q))  # [nq, V_in]
+    okm = jnp.stack(_mm).astype(jnp.int32)
+    ok0 = jnp.stack(_m0).astype(jnp.int32)
+    okp = jnp.stack(_mp).astype(jnp.int32)
+    ranked = (
+        (ranked & ~7)
+        | (((ranked >> 2) & 1) & okm) * 4
+        | (((ranked >> 1) & 1) & ok0) * 2
+        | ((ranked & 1) & okp)
+    )
+    rows = []
+    for qi, fn in fixups:
+        rows.extend(fn(ranked[qi]))
 
     if kh == 1 and kd > 1:
         # per-κz pairs target different output z-planes — isolate each in
