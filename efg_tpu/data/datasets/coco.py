@@ -110,10 +110,38 @@ class COCOPanopticDataset(COCODataset):
         with open(pan_json) as f:
             pan = json.load(f)
         self.pan_by_img = {a["image_id"]: a for a in pan["annotations"]}
+        # 133-category contiguous mapping over the PANOPTIC categories
+        # (things + stuff; the instance mapping from the parent covers only
+        # the 80 things) — train targets, predictions, and PQ eval all use
+        # this one mapping.
+        pan_cats = sorted(pan.get("categories", []), key=lambda c: c["id"])
+        if pan_cats:
+            self.pan_cat_to_contiguous = {c["id"]: i for i, c in enumerate(pan_cats)}
+            self.class_names = [c["name"] for c in pan_cats]
+            self.thing_contiguous_ids = {
+                i for i, c in enumerate(pan_cats) if c.get("isthing", 0)
+            }
+        else:  # panoptic jsons without a categories block: things only
+            self.pan_cat_to_contiguous = dict(self.cat_id_to_contiguous)
+            self.thing_contiguous_ids = set(self.pan_cat_to_contiguous.values())
 
     def __getitem__(self, idx):
         img_meta, _ = self.items[idx]
-        image, info = super().__getitem__(idx)
+        path = os.path.join(self.image_root, img_meta["file_name"])
+        image = cv2.imread(path).astype(np.float32)
+        info = {
+            "metadata": {
+                "image_id": img_meta["id"],
+                "height": img_meta["height"],
+                "width": img_meta["width"],
+            },
+            "annotations": {
+                "boxes2d": np.zeros((0, 4), np.float32),
+                "classes": np.zeros(0, np.int64),
+                "iscrowd": np.zeros(0, np.int64),
+                "areas": np.zeros(0, np.float64),
+            },
+        }
         pan_ann = self.pan_by_img.get(img_meta["id"])
         if pan_ann is not None:
             png = cv2.imread(os.path.join(self.pan_root, pan_ann["file_name"]))
@@ -123,15 +151,45 @@ class COCOPanopticDataset(COCODataset):
                 + png[..., 1].astype(np.int64) * 256
                 + png[..., 0].astype(np.int64) * 256**2
             )
+            # training targets: one (class, mask) per non-crowd segment
+            # (things AND stuff — the Mask2Former criterion supervises
+            # both; reference d2 mapper semantics), built BEFORE the
+            # transform chain so LSJ crops masks consistently
+            segs = [
+                s for s in pan_ann["segments_info"]
+                if not s.get("iscrowd", 0)
+                and s["category_id"] in self.pan_cat_to_contiguous
+            ]
+            masks = np.stack(
+                [(pan_id == s["id"]).astype(np.uint8) for s in segs]
+            ) if segs else np.zeros((0,) + pan_id.shape, np.uint8)
+            boxes = np.zeros((len(segs), 4), np.float32)
+            for i, m in enumerate(masks):
+                ys, xs = np.nonzero(m)
+                if len(ys):
+                    boxes[i] = [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1]
+            info["annotations"].update(
+                boxes2d=boxes,
+                classes=np.asarray(
+                    [self.pan_cat_to_contiguous[s["category_id"]] for s in segs],
+                    np.int64,
+                ),
+                iscrowd=np.zeros(len(segs), np.int64),
+                areas=np.asarray([s.get("area", 0) for s in segs], np.float64),
+                masks=masks,
+            )
+            # evaluation-side originals: the PQ evaluator compares at the
+            # ORIGINAL resolution; these fields pass through the transform
+            # chain untouched
             info["annotations"]["pan_gt"] = pan_id
             info["annotations"]["gt_segments"] = {
-                s["id"]: self.cat_id_to_contiguous.get(s["category_id"], -1)
+                s["id"]: self.pan_cat_to_contiguous.get(s["category_id"], -1)
                 for s in pan_ann["segments_info"]
             }
             info["annotations"]["gt_iscrowd_seg"] = {
                 s["id"]: bool(s.get("iscrowd", 0)) for s in pan_ann["segments_info"]
             }
-        return image, info
+        return self._apply_transforms(image, info)
 
 
 @DATASETS.register()

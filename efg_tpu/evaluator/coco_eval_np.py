@@ -41,17 +41,36 @@ def iou_xyxy_np(a: np.ndarray, b: np.ndarray, iscrowd=None) -> np.ndarray:
     return inter / np.maximum(union, 1e-9)
 
 
-def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, iou_thrs):
-    """Greedy score-ordered matching. Returns (tp [T, D], ignore_det [T, D])
-    with det order = score-descending."""
+def mask_iou_np(a: np.ndarray, b: np.ndarray, iscrowd=None) -> np.ndarray:
+    """IoU between flat binary masks a [N, HW], b [M, HW] (uint8/bool).
+    Intersections via one BLAS matmul (reference capability:
+    `efg/evaluator/coco_evaluator.py:485-523` segm path / pycocotools
+    maskUtils.iou; crowd = intersection over det area)."""
+    if a.shape[0] == 0 or b.shape[0] == 0:
+        return np.zeros((a.shape[0], b.shape[0]))
+    af = a.reshape(a.shape[0], -1).astype(np.float32)
+    bf = b.reshape(b.shape[0], -1).astype(np.float32)
+    inter = af @ bf.T
+    area_a = af.sum(1)
+    area_b = bf.sum(1)
+    union = area_a[:, None] + area_b[None, :] - inter
+    if iscrowd is not None:
+        union = np.where(iscrowd[None, :], area_a[:, None], union)
+    return inter / np.maximum(union, 1e-9)
+
+
+def _match_image(iou, det_scores, gt_ignore, iou_thrs):
+    """Greedy score-ordered matching over a precomputed det×gt IoU matrix
+    (rows already score-sorted). Returns (tp [T, D], ignore_det [T, D],
+    score order)."""
     order = np.argsort(-det_scores)
-    det_boxes = det_boxes[order]
-    d, g = len(det_boxes), len(gt_boxes)
+    iou = iou[order]
+    d = iou.shape[0]
+    g = len(gt_ignore)
     t = len(iou_thrs)
     tp = np.zeros((t, d), bool)
     ign = np.zeros((t, d), bool)
     if g:
-        iou = iou_xyxy_np(det_boxes, gt_boxes, iscrowd=gt_ignore)
         # non-ignored first (pycocotools sorts gt by ignore flag)
         gt_order = np.argsort(gt_ignore.astype(np.int8), kind="stable")
         for ti, thr in enumerate(iou_thrs):
@@ -77,46 +96,72 @@ def _match_image(det_boxes, det_scores, gt_boxes, gt_ignore, iou_thrs):
 
 
 class COCOEvalNP:
-    """Accumulate per-(image, category) detections and compute COCO APs."""
+    """Accumulate per-(image, category) detections and compute COCO APs.
 
-    def __init__(self, max_dets: int = 100):
+    `iou_type="segm"` evaluates by binary-mask IoU (pass `det_masks` /
+    `gt_masks` bitmasks of a common per-image resolution to `add_image`;
+    GT areas still come from the annotation `area` field like
+    pycocotools). Matches the reference's segm evaluation capability
+    (`efg/evaluator/coco_evaluator.py:485-523`)."""
+
+    def __init__(self, max_dets: int = 100, iou_type: str = "bbox"):
+        assert iou_type in ("bbox", "segm")
         self.max_dets = max_dets
+        self.iou_type = iou_type
         # frames[(cat)] = list of per-image dicts
         self.frames: Dict[int, List[dict]] = defaultdict(list)
 
-    def add_image(self, cat_id: int, det_boxes, det_scores, gt_boxes, gt_iscrowd, gt_areas):
-        self.frames[cat_id].append(
-            dict(
-                det_boxes=np.asarray(det_boxes, np.float64).reshape(-1, 4),
-                det_scores=np.asarray(det_scores, np.float64).reshape(-1),
-                gt_boxes=np.asarray(gt_boxes, np.float64).reshape(-1, 4),
-                gt_iscrowd=np.asarray(gt_iscrowd, bool).reshape(-1),
-                gt_areas=np.asarray(gt_areas, np.float64).reshape(-1),
-            )
+    def add_image(self, cat_id: int, det_boxes, det_scores, gt_boxes,
+                  gt_iscrowd, gt_areas, det_masks=None, gt_masks=None):
+        f = dict(
+            det_boxes=np.asarray(det_boxes, np.float64).reshape(-1, 4),
+            det_scores=np.asarray(det_scores, np.float64).reshape(-1),
+            gt_boxes=np.asarray(gt_boxes, np.float64).reshape(-1, 4),
+            gt_iscrowd=np.asarray(gt_iscrowd, bool).reshape(-1),
+            gt_areas=np.asarray(gt_areas, np.float64).reshape(-1),
         )
+        if self.iou_type == "segm":
+            dm = np.asarray(det_masks, np.uint8)
+            gm = np.asarray(gt_masks, np.uint8)
+            f["det_masks"] = dm.reshape(len(f["det_boxes"]), -1)
+            f["gt_masks"] = gm.reshape(len(f["gt_boxes"]), -1)
+        self.frames[cat_id].append(f)
 
-    def _ap_for(self, cat_frames, area_rng) -> np.ndarray:
-        """[T] AP per IoU threshold for one category + area range."""
+    def _eval_for(self, cat_frames, area_rng, max_dets=None):
+        """(AP [T], recall-at-maxDets [T]) for one category + area range."""
+        max_dets = max_dets or self.max_dets
         t = len(IOU_THRS)
         scores_all, tp_all, ign_all = [], [], []
         num_gt = 0
         for f in cat_frames:
-            det = f["det_boxes"][: self.max_dets * 4]
-            sc = f["det_scores"][: self.max_dets * 4]
-            order0 = np.argsort(-sc)[: self.max_dets]
-            det, sc = det[order0], sc[order0]
+            sc = f["det_scores"]
+            order0 = np.argsort(-sc)[:max_dets]
+            det = f["det_boxes"][order0]
+            sc = sc[order0]
 
             g_area = f["gt_areas"]
-            if g_area.size == 0:
-                g_area = (
-                    np.clip(f["gt_boxes"][:, 2] - f["gt_boxes"][:, 0], 0, None)
-                    * np.clip(f["gt_boxes"][:, 3] - f["gt_boxes"][:, 1], 0, None)
-                )
+            if g_area.size == 0 and len(f["gt_boxes"]):
+                if self.iou_type == "segm":
+                    g_area = f["gt_masks"].sum(1).astype(np.float64)
+                else:
+                    g_area = (
+                        np.clip(f["gt_boxes"][:, 2] - f["gt_boxes"][:, 0], 0, None)
+                        * np.clip(f["gt_boxes"][:, 3] - f["gt_boxes"][:, 1], 0, None)
+                    )
             gt_ignore = f["gt_iscrowd"] | (g_area < area_rng[0]) | (g_area >= area_rng[1])
             num_gt += int((~gt_ignore).sum())
 
-            d_area = np.clip(det[:, 2] - det[:, 0], 0, None) * np.clip(det[:, 3] - det[:, 1], 0, None)
-            tp, ign, order = _match_image(det, sc, f["gt_boxes"], gt_ignore, IOU_THRS)
+            if self.iou_type == "segm":
+                dmask = f["det_masks"][order0]
+                iou = mask_iou_np(dmask, f["gt_masks"], iscrowd=f["gt_iscrowd"])
+                d_area = dmask.sum(1).astype(np.float64)
+            else:
+                iou = iou_xyxy_np(det, f["gt_boxes"], iscrowd=f["gt_iscrowd"])
+                d_area = (
+                    np.clip(det[:, 2] - det[:, 0], 0, None)
+                    * np.clip(det[:, 3] - det[:, 1], 0, None)
+                )
+            tp, ign, order = _match_image(iou, sc, gt_ignore, IOU_THRS)
             # dets outside the area range that didn't match a real GT → ignore
             out_of_rng = (d_area[order] < area_rng[0]) | (d_area[order] >= area_rng[1])
             ign = ign | (out_of_rng[None, :] & ~tp)
@@ -125,9 +170,9 @@ class COCOEvalNP:
             ign_all.append(ign)
 
         if num_gt == 0:
-            return np.full(t, np.nan)
+            return np.full(t, np.nan), np.full(t, np.nan)
         if not scores_all:
-            return np.zeros(t)
+            return np.zeros(t), np.zeros(t)
         scores = np.concatenate(scores_all)
         tp = np.concatenate(tp_all, axis=1)
         ign = np.concatenate(ign_all, axis=1)
@@ -135,12 +180,14 @@ class COCOEvalNP:
         tp, ign = tp[:, order], ign[:, order]
 
         aps = np.zeros(t)
+        recs = np.zeros(t)
         for ti in range(t):
             keep = ~ign[ti]
             tps = tp[ti][keep]
             tp_cum = np.cumsum(tps)
             fp_cum = np.cumsum(~tps)
             recall = tp_cum / num_gt
+            recs[ti] = recall[-1] if len(recall) else 0.0
             precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
             # precision envelope + 101-point interpolation
             precision = np.maximum.accumulate(precision[::-1])[::-1]
@@ -148,7 +195,10 @@ class COCOEvalNP:
             prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
             prec_at[idx >= len(precision)] = 0.0
             aps[ti] = prec_at.mean()
-        return aps
+        return aps, recs
+
+    def _ap_for(self, cat_frames, area_rng) -> np.ndarray:
+        return self._eval_for(cat_frames, area_rng)[0]
 
     def summarize(self) -> Dict[str, float]:
         cats = sorted(self.frames.keys())
@@ -164,4 +214,32 @@ class COCOEvalNP:
         out["APs"] = float(np.nanmean(per_cat["small"]))
         out["APm"] = float(np.nanmean(per_cat["medium"]))
         out["APl"] = float(np.nanmean(per_cat["large"]))
+        # recall at 1/10/maxDets over all areas (standard COCO AR block)
+        for md, name in ((1, "AR1"), (10, "AR10"), (self.max_dets, f"AR{self.max_dets}")):
+            rc = np.stack(
+                [self._eval_for(self.frames[c], AREA_RNGS["all"], max_dets=md)[1] for c in cats]
+            )
+            out[name] = float(np.nanmean(rc))
+        return out
+
+    def per_category_ap(self) -> Dict[int, float]:
+        """cat id → AP(all areas) — the reference's per-category results
+        table (`efg/evaluator/coco_evaluator.py:525-545`)."""
+        return {
+            c: float(np.nanmean(self._ap_for(self.frames[c], AREA_RNGS["all"])))
+            for c in sorted(self.frames.keys())
+        }
+
+    def summarize_proposals(self, max_dets=(100,)) -> Dict[str, float]:
+        """Class-agnostic proposal AR (pycocotools useCats=0). Callers
+        add each image ONCE under a single category (labels ignored);
+        reports AR + per-area AR at each maxDets."""
+        frames = [f for c in sorted(self.frames.keys()) for f in self.frames[c]]
+        out = {}
+        for md in max_dets:
+            _, rc = self._eval_for(frames, AREA_RNGS["all"], max_dets=md)
+            out[f"AR@{md}"] = float(np.nanmean(rc))
+            for rng in ("small", "medium", "large"):
+                _, rca = self._eval_for(frames, AREA_RNGS[rng], max_dets=md)
+                out[f"AR{rng[0]}@{md}"] = float(np.nanmean(rca))
         return out

@@ -107,23 +107,81 @@ def summarize_pq(stats: Dict[int, np.ndarray]) -> Dict[str, float]:
     }
 
 
+def assemble_panoptic(pan_seg_q, labels, keep, thing_ids):
+    """Host assembly of the final segment map from the device outputs of
+    `mask2former.predict_panoptic` (reference `panoptic_inference`
+    mask2former.py:258-318 host half): relabel winning-query ids to dense
+    segment ids, merging stuff segments of the same class."""
+    out = np.zeros(pan_seg_q.shape, np.int32)
+    segments = {}
+    stuff_memory = {}
+    next_id = 1
+    for q in np.nonzero(np.asarray(keep))[0]:
+        m = pan_seg_q == (q + 1)
+        if not m.any():
+            continue
+        cls = int(labels[q])
+        if cls not in thing_ids and cls in stuff_memory:
+            out[m] = stuff_memory[cls]
+            continue
+        if cls not in thing_ids:
+            stuff_memory[cls] = next_id
+        out[m] = next_id
+        segments[next_id] = cls
+        next_id += 1
+    return out, segments
+
+
 @EVALUATORS.register()
 class PanopticEvaluator(DatasetEvaluator):
     def __init__(self, config, dataset):
+        self.thing_ids = set(getattr(dataset, "thing_contiguous_ids", set()))
         self._items: List[dict] = []
 
     def reset(self):
         self._items = []
 
     def process(self, inputs, outputs):
-        """outputs must carry per-image `pan_pred` [H, W] + `pred_segments`;
-        inputs' annotations carry `pan_gt`, `gt_segments`, `gt_iscrowd`."""
+        """outputs carry either assembled per-image `pan_pred` [H, W] +
+        `pred_segments`, or the raw device fields of `predict_panoptic`
+        (`pan_seg` winner map + labels/keep) which are assembled here and
+        resized back to the GT's original resolution; inputs' annotations
+        carry `pan_gt`, `gt_segments`, `gt_iscrowd_seg`."""
         for b in range(len(inputs["annotations"])):
             anno = inputs["annotations"][b] or {}
+            if "pan_pred" in outputs:
+                pan_pred = np.asarray(outputs["pan_pred"][b])
+                pred_segments = outputs["pred_segments"][b]
+            else:
+                ps = np.asarray(outputs["pan_seg"][b])
+                pan_pred, pred_segments = assemble_panoptic(
+                    ps, np.asarray(outputs["pan_labels"][b]),
+                    np.asarray(outputs["pan_keep"][b]), self.thing_ids,
+                )
+                meta = (inputs.get("metadata") or [{}] * (b + 1))[b] or {}
+                gt_hw = np.asarray(anno["pan_gt"]).shape
+                if "images" in inputs and "image_size" in meta:
+                    # un-pad: valid region of the fixed canvas at mask scale
+                    stride = max(inputs["images"].shape[1] // ps.shape[0], 1)
+                    ch = -(-int(meta["image_size"][0]) // stride)
+                    cw = -(-int(meta["image_size"][1]) // stride)
+                    pan_pred = pan_pred[:ch, :cw]
+                if pan_pred.shape != gt_hw:
+                    try:
+                        import cv2
+
+                        pan_pred = cv2.resize(
+                            pan_pred, (gt_hw[1], gt_hw[0]),
+                            interpolation=cv2.INTER_NEAREST,
+                        )
+                    except ImportError:  # pragma: no cover
+                        ys = (np.arange(gt_hw[0]) * pan_pred.shape[0] // gt_hw[0])
+                        xs = (np.arange(gt_hw[1]) * pan_pred.shape[1] // gt_hw[1])
+                        pan_pred = pan_pred[np.ix_(ys, xs)]
             self._items.append(
                 dict(
-                    pan_pred=np.asarray(outputs["pan_pred"][b]),
-                    pred_segments=outputs["pred_segments"][b],
+                    pan_pred=pan_pred,
+                    pred_segments=pred_segments,
                     pan_gt=np.asarray(anno["pan_gt"]),
                     gt_segments=anno["gt_segments"],
                     gt_iscrowd=anno.get("gt_iscrowd_seg", {}),

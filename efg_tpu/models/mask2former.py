@@ -466,7 +466,9 @@ def predict_panoptic(
     )(pan_seg, jnp.broadcast_to(jnp.arange(mask_probs.shape[1])[None], keep.shape))
     survive = final_area / jnp.maximum(orig_area, 1)
     keep = keep & (survive > overlap_threshold) & (final_area > 0)
-    return dict(pan_seg=pan_seg, scores=scores, labels=labels, keep=keep)
+    # pan_-prefixed keys so the dict can be merged with predict_instance
+    # outputs for a combined instance+panoptic eval pass
+    return dict(pan_seg=pan_seg, pan_scores=scores, pan_labels=labels, pan_keep=keep)
 
 
 def predict_semantic(preds, *, model_cfg):

@@ -25,6 +25,10 @@ def build_model(config):
         return M2F.compute_loss(preds, batch, model_cfg=cfg, rng=rng)
 
     def predict_fn(preds, batch):
-        return M2F.predict_instance(preds, model_cfg=cfg)
+        # combined instance + panoptic outputs: the COCO evaluator consumes
+        # masks/scores/labels, the panoptic evaluator the pan_* fields
+        out = M2F.predict_instance(preds, model_cfg=cfg)
+        out.update(M2F.predict_panoptic(preds, model_cfg=cfg))
+        return out
 
     return ModelDef(module, apply_args, loss_fn, predict_fn)

@@ -52,3 +52,69 @@ def test_empty_category_is_nan_ignored():
     ev.add_image(1, np.zeros((0, 4)), np.zeros(0), np.zeros((0, 4)), np.zeros(0, bool), np.zeros(0))
     res = ev.summarize()
     assert res["AP"] > 0.99  # cat 1 has no gt → NaN → excluded from mean
+
+
+def test_segm_perfect_masks_ap1():
+    ev = COCOEvalNP(iou_type="segm")
+    h, w = 40, 40
+    m1 = np.zeros((h, w), np.uint8); m1[5:20, 5:20] = 1
+    m2 = np.zeros((h, w), np.uint8); m2[25:38, 10:30] = 1
+    gt_boxes = np.array([[5, 5, 20, 20.0], [10, 25, 30, 38.0]])
+    ev.add_image(
+        0, gt_boxes, np.array([0.9, 0.8]), gt_boxes,
+        np.zeros(2, bool), np.zeros(0),
+        det_masks=np.stack([m1, m2]), gt_masks=np.stack([m1, m2]),
+    )
+    res = ev.summarize()
+    assert res["AP"] > 0.99
+    assert res["AR100"] > 0.99
+
+
+def test_segm_shifted_mask_matches_at_low_iou_only():
+    ev = COCOEvalNP(iou_type="segm")
+    h, w = 40, 60
+    gtm = np.zeros((h, w), np.uint8); gtm[10:30, 10:30] = 1
+    dtm = np.zeros((h, w), np.uint8); dtm[10:30, 16:36] = 1  # IoU = 14/26 ≈ .538
+    box = np.array([[10, 10, 30, 30.0]])
+    ev.add_image(
+        0, box, np.array([0.9]), box, np.zeros(1, bool), np.zeros(0),
+        det_masks=dtm[None], gt_masks=gtm[None],
+    )
+    res = ev.summarize()
+    # matched at IoU .5 only → AP ≈ 1/10
+    assert 0.05 < res["AP"] < 0.15
+    assert res["AP50"] > 0.99
+    assert res["AP75"] < 0.01
+
+
+def test_segm_box_disagreement_is_irrelevant():
+    """segm matching must use mask IoU, not box IoU."""
+    ev = COCOEvalNP(iou_type="segm")
+    h, w = 40, 40
+    m = np.zeros((h, w), np.uint8); m[5:20, 5:20] = 1
+    det_box = np.array([[100, 100, 120, 120.0]])  # nonsense box
+    gt_box = np.array([[5, 5, 20, 20.0]])
+    ev.add_image(
+        0, det_box, np.array([0.9]), gt_box, np.zeros(1, bool), np.zeros(0),
+        det_masks=m[None], gt_masks=m[None],
+    )
+    assert ev.summarize()["AP"] > 0.99
+
+
+def test_proposal_ar_class_agnostic():
+    ev = COCOEvalNP()
+    gt = np.array([[0, 0, 50, 50.0], [100, 100, 160, 160.0]])
+    # proposals hit only the first GT
+    ev.add_image(0, gt[:1], np.array([0.7]), gt, np.zeros(2, bool), np.zeros(0))
+    res = ev.summarize_proposals(max_dets=(100,))
+    assert abs(res["AR@100"] - 0.5) < 1e-6
+
+
+def test_ar_small_dets_counts():
+    ev = COCOEvalNP()
+    gt = np.array([[0, 0, 50, 50.0], [60, 60, 110, 110.0]])
+    dets = np.array([[0, 0, 50, 50.0]])
+    ev.add_image(0, dets, np.array([0.9]), gt, np.zeros(2, bool), np.zeros(0))
+    res = ev.summarize()
+    assert abs(res["AR100"] - 0.5) < 1e-6
+    assert abs(res["AR1"] - 0.5) < 1e-6
