@@ -252,9 +252,14 @@ def build_dataloader(config, dataset, train: bool = True) -> DataLoader:
     if train:
         sampler_name = dl.get("sampler", "DistributedInfiniteSampler")
         seed = config.misc.get("seed", -1)
-        sampler = SAMPLERS.get(sampler_name)(
-            len(dataset), shuffle=True, seed=None if seed is None or seed < 0 else seed
-        )
+        kw = dict(shuffle=True, seed=None if seed is None or seed < 0 else seed)
+        if sampler_name == "DistributedGroupSampler":
+            # aspect-ratio group batching (reference dataset_sampler.py:109)
+            kw.update(
+                aspect_ratios=getattr(dataset, "aspect_ratios", None),
+                samples_per_batch=int(dl.batch_size),
+            )
+        sampler = SAMPLERS.get(sampler_name)(len(dataset), **kw)
         return DataLoader(
             dataset, sampler, int(dl.batch_size), max_gt=max_gt,
             num_workers=int(dl.get("num_workers", 0)),

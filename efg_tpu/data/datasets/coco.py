@@ -60,6 +60,12 @@ class COCODataset(BaseDataset):
             self.items.append((img, anns))
 
         self.transforms = build_processors(d.processors[config.task if config.task in d.processors else task])
+        # aspect-ratio group ids for DistributedGroupSampler (reference
+        # `_compute_aspect_ratios`: 0 = landscape, 1 = portrait)
+        self.aspect_ratios = np.asarray(
+            [int(img["height"] > img["width"]) for img, _ in self.items],
+            np.int64,
+        )
 
     def __len__(self):
         return len(self.items)

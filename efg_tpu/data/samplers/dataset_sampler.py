@@ -93,3 +93,56 @@ class InferenceSampler:
 
     def __iter__(self) -> Iterator[int]:
         return iter(self._local)
+
+
+@SAMPLERS.register()
+class DistributedGroupSampler:
+    """Infinite aspect-ratio-grouped sampler: every emitted run of
+    `samples_per_batch` indices shares one aspect-ratio group (landscape vs
+    portrait), so a fixed canvas per batch wastes far less padding.
+
+    Rebuild of the reference `DistributedGroupSampler`
+    (`efg/data/samplers/dataset_sampler.py:109-192`), recast as an infinite
+    stream like the other train samplers: per epoch, each group's indices
+    are shuffled, padded to a multiple of samples_per_batch·world, chunked
+    into whole batches, and the batch order is shuffled across groups; this
+    process's share is every `world`-th batch.
+
+    `aspect_ratios` come from the dataset attribute of the same name
+    (group id per item, e.g. (h > w) as 0/1)."""
+
+    def __init__(self, size: int, aspect_ratios=None, samples_per_batch: int = 1,
+                 shuffle: bool = True, seed: Optional[int] = None):
+        assert size > 0
+        rank, world = _proc_info()
+        self._size = size
+        self._ar = (
+            np.zeros(size, np.int64)
+            if aspect_ratios is None
+            else np.asarray(aspect_ratios, np.int64)
+        )
+        assert len(self._ar) == size
+        self._spb = max(int(samples_per_batch), 1)
+        self._shuffle = shuffle
+        self._seed = 2**31 - 1 if seed is None else int(seed)
+        self._rank = rank
+        self._world = world
+
+    def __iter__(self) -> Iterator[int]:
+        g = np.random.RandomState(self._seed)
+        epoch = 0
+        while True:
+            batches = []
+            for grp in np.unique(self._ar):
+                idx = np.nonzero(self._ar == grp)[0]
+                if self._shuffle:
+                    idx = idx[g.permutation(len(idx))]
+                quantum = self._spb * self._world
+                pad = (-len(idx)) % quantum
+                if pad:
+                    idx = np.concatenate([idx, idx[: pad % len(idx)] if pad <= len(idx) else np.resize(idx, pad)])
+                batches.extend(idx.reshape(-1, self._spb))
+            order = g.permutation(len(batches)) if self._shuffle else np.arange(len(batches))
+            for bi in order[self._rank :: self._world]:
+                yield from batches[bi].tolist()
+            epoch += 1

@@ -51,8 +51,12 @@ def _yaw_diff(a: float, b: float, period: float = 2 * np.pi) -> float:
 
 
 class _ClassAccumulator:
-    def __init__(self):
+    def __init__(self, yaw_period: float = 2 * np.pi, use_orient: bool = True):
+        # official per-class rules: barriers match modulo pi, traffic cones
+        # have no orientation error (devkit class_range/attribute tables)
         self.frames: List[dict] = []
+        self.yaw_period = yaw_period
+        self.use_orient = use_orient
 
     def ap_and_tp(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
@@ -80,7 +84,11 @@ class _ClassAccumulator:
                         if thr == TP_THRESHOLD:
                             errs["trans"].append(float(np.linalg.norm(gt[j, :2] - det[i, :2])))
                             errs["scale"].append(1.0 - _aligned_iou_1x1(det[i], gt[j]))
-                            errs["orient"].append(_yaw_diff(det[i, -1], gt[j, -1]))
+                            if self.use_orient:
+                                errs["orient"].append(
+                                    _yaw_diff(det[i, -1], gt[j, -1],
+                                              period=self.yaw_period)
+                                )
                             errs["vel"].append(float(np.linalg.norm(gt[j, 6:8] - det[i, 6:8])))
                 scores.append(sc)
                 tps.append(tp)
@@ -95,7 +103,9 @@ class _ClassAccumulator:
             # official normalization over recall/precision ≥ 0.1
             rec_interp = np.linspace(0, 1, 101)
             prec = np.interp(rec_interp, recall, precision, right=0) if len(recall) else np.zeros(101)
-            prec = prec[rec_interp >= 0.1]
+            # devkit calc_ap: drop recall ≤ min_recall (indices 0..10
+            # inclusive — round(100·0.1)+1), floor precision at 0.1
+            prec = prec[11:]
             prec = np.clip(prec - 0.1, 0, None)
             out[f"AP@{thr}"] = float(prec.mean() / 0.9)
             if thr == TP_THRESHOLD:
@@ -108,10 +118,18 @@ class _ClassAccumulator:
 class nuScenesDetEvaluator(DatasetEvaluator):
     def __init__(self, config, dataset):
         self.class_names = list(config.dataset.classes)
-        self._acc = {c: _ClassAccumulator() for c in self.class_names}
+        self._acc = {c: self._make_acc(c) for c in self.class_names}
+
+    @staticmethod
+    def _make_acc(cname: str) -> _ClassAccumulator:
+        n = cname.lower()
+        return _ClassAccumulator(
+            yaw_period=np.pi if "barrier" in n else 2 * np.pi,
+            use_orient="traffic_cone" not in n and "cone" != n,
+        )
 
     def reset(self):
-        self._acc = {c: _ClassAccumulator() for c in self.class_names}
+        self._acc = {c: self._make_acc(c) for c in self.class_names}
 
     def process(self, inputs, outputs):
         bsz = len(inputs["annotations"])
@@ -134,7 +152,7 @@ class nuScenesDetEvaluator(DatasetEvaluator):
         shards = comm.all_gather({c: a.frames for c, a in self._acc.items()})
         if not comm.is_main_process():
             return {}
-        merged = {c: _ClassAccumulator() for c in self.class_names}
+        merged = {c: self._make_acc(c) for c in self.class_names}
         for shard in shards:
             for c, frames in shard.items():
                 merged[c].frames.extend(frames)

@@ -54,6 +54,8 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     norm: str = "FrozenBN"
+    deform: bool = False            # DeformBottleneckBlock (conv2 deformable)
+    deform_modulated: bool = False  # v2 (modulated) variant
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -65,11 +67,23 @@ class BottleneckBlock(nn.Module):
         out = nn.Conv(self.bottleneck_channels, (1, 1), use_bias=False,
                       kernel_init=_msra, name="conv1")(x)
         out = jax.nn.relu(_norm(self.norm, train, "norm1")(out))
-        out = nn.Conv(
-            self.bottleneck_channels, (3, 3), strides=self.stride,
-            kernel_dilation=self.dilation, padding=self.dilation,
-            use_bias=False, kernel_init=_msra, name="conv2",
-        )(out)
+        if self.deform:
+            # reference DeformBottleneckBlock: conv2 becomes a (modulated)
+            # deformable conv (`efg/modeling/backbones/resnet.py`
+            # deform_on_per_stage wiring)
+            assert self.dilation == 1, "deform conv2 does not support dilation"
+            from efg_tpu.ops.deform_conv import DeformConv
+
+            out = DeformConv(
+                self.bottleneck_channels, kernel_size=3, stride=self.stride,
+                modulated=self.deform_modulated, name="conv2",
+            )(out)
+        else:
+            out = nn.Conv(
+                self.bottleneck_channels, (3, 3), strides=self.stride,
+                kernel_dilation=self.dilation, padding=self.dilation,
+                use_bias=False, kernel_init=_msra, name="conv2",
+            )(out)
         out = jax.nn.relu(_norm(self.norm, train, "norm2")(out))
         out = nn.Conv(self.out_channels, (1, 1), use_bias=False,
                       kernel_init=_msra, name="conv3")(out)
@@ -86,6 +100,10 @@ class ResNet(nn.Module):
     out_features: Sequence[str] = ("res3", "res4", "res5")
     freeze_at: int = 2
     res5_dilation: int = 1
+    # per-stage deformable conv2 (res2..res5), reference
+    # `deform_on_per_stage` / `deform_modulated` (gallary/backbones.yaml)
+    deform_on_per_stage: Sequence[bool] = (False, False, False, False)
+    deform_modulated: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool) -> Dict[str, jax.Array]:
@@ -111,6 +129,8 @@ class ResNet(nn.Module):
                     out_ch, bott,
                     stride=first_stride if b == 0 else 1,
                     dilation=dilation, norm=self.norm,
+                    deform=bool(self.deform_on_per_stage[stage_i]),
+                    deform_modulated=self.deform_modulated,
                     name=f"{name}_block{b}",
                 )(x, train)
             if self.freeze_at >= stage_i + 2:

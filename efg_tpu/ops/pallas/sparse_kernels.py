@@ -49,8 +49,9 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512   # output rows per grid step (TILE/128 bands per pair)
-BAND = 192   # band rows per 128 output rows (covers density ≤ ~1.4 + align)
+TILE = 1024  # output rows per grid step (TILE/128 bands per pair)
+BAND = 128   # band rows per 128 output rows (r3 sweep: 128 beats 192/160;
+             # 96 collapses into the fallback pass)
 WSLACK = 512  # window rows beyond TILE (covers group spread + density)
 
 _INTERPRET = False  # set by tests to run kernels on CPU
@@ -406,11 +407,22 @@ def prep_rulebook(
     )
 
 
+def feat3_of(rule: "PreppedRule", features: jax.Array) -> jax.Array:
+    """The rule-shaped shifted-concat gather source for `features` — built
+    once per layer and shared by the fwd and dW kernels (each call used to
+    rebuild it: ~0.3-0.5 ms × 2 per layer at s0 scale)."""
+    return _feat3(
+        features, rule.v_pos + rule.chunkw + 2 * rule.band + 32,
+        pack2=rule.pack2,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
 def fused_gather_gemm(
     features: jax.Array,  # [V_in, C]
     rule,  # PreppedRule, or a raw [P=3·G, V_out] int32 anchor rulebook
     weights: jax.Array,  # [P·3·C, O] rows ordered (pair, tap, channel)
+    feat3: jax.Array | None = None,  # optional precomputed feat3_of(rule, features)
     *,
     tile: int = TILE,
     band: int = BAND,
@@ -430,7 +442,8 @@ def fused_gather_gemm(
     v_out, v_pos, vt = rule.v_out, rule.v_pos, rule.vt
     tile, band, chunkw, pack2 = rule.tile, rule.band, rule.chunkw, rule.pack2
     n_groups = rule.n_groups
-    feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
+    if feat3 is None:
+        feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
     c3p = feat3.shape[1]
     n_steps = (vt // tile) * n_groups
 
@@ -499,6 +512,7 @@ def fused_gather_dw(
     features: jax.Array,  # [V_in, C]
     rule,  # PreppedRule, or a raw [P=3·G, V_out] int32 anchor rulebook
     g: jax.Array,  # [V_out, O] upstream grad (pre-masked by out_valid)
+    feat3: jax.Array | None = None,  # optional precomputed feat3_of(rule, features)
     *,
     tile: int = TILE,
     band: int = BAND,
@@ -518,7 +532,8 @@ def fused_gather_dw(
     n_groups = rule.n_groups
     if vt != v_out:
         g = jnp.pad(g, ((0, vt - v_out), (0, 0)))
-    feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
+    if feat3 is None:
+        feat3 = _feat3(features, v_pos + chunkw + 2 * band + 32, pack2=pack2)
     c3p = feat3.shape[1]
     n_steps = (vt // tile) * n_groups
 
@@ -589,22 +604,27 @@ def subm_conv9(
         ) * out_valid[:, None].astype(jnp.float32)
 
     def fwd(feats, w):
-        # NOTE: packed/out_valid ride the residuals so the backward region
-        # depends on them EXPLICITLY — left as closure captures, XLA's
-        # scheduler rematerialized the entire rulebook build (index-table
-        # scatter + 9 gathers) inside the loop body (~0.5 ms × dozens per
-        # step, seen in the device trace) instead of keeping ~1 MB live.
-        return f(feats, w), (feats, w, packed, out_valid)
+        # NOTE: packed/out_valid/feat3 ride the residuals so the backward
+        # region depends on them EXPLICITLY — left as closure captures,
+        # XLA's scheduler rematerialized the entire rulebook build inside
+        # the loop body (~0.5 ms × dozens per step, device trace) instead
+        # of keeping ~1 MB live. feat3 is shared by the fwd and dW kernels
+        # (each used to rebuild it).
+        f3 = feat3_of(packed, feats)
+        out = fused_gather_gemm(
+            feats, packed, w.reshape(k3 * cin, cout), f3
+        ) * out_valid[:, None].astype(jnp.float32)
+        return out, (feats, w, packed, out_valid, f3)
 
     def bwd(res, g):
-        feats, w, packed_r, ov = res
+        feats, w, packed_r, ov, f3 = res
         g = g * ov[:, None].astype(g.dtype)
         # full 27-raster reversal = reverse pairs AND taps jointly
         w_flip = jnp.swapaxes(w[::-1], 1, 2)  # [K, O, C]
         d_feats = fused_gather_gemm(
             g.astype(jnp.float32), packed_r, w_flip.reshape(k3 * cout, cin)
         ).astype(feats.dtype)
-        dw = fused_gather_dw(feats, packed_r, g.astype(jnp.float32))
+        dw = fused_gather_dw(feats, packed_r, g.astype(jnp.float32), f3)
         dw = dw.reshape(k3, cin, cout).astype(w.dtype)
         return d_feats, dw
 
@@ -663,14 +683,80 @@ def _rank_kernel(wrow_ref, nrows_ref, qT_ref, keys_ref, out_ref, *, nb: int):
         out_ref[0, :, b : b + 1] = cnt * 8 + fm * 4 + f0 * 2 + fp
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
-def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8):
+def _rank_kernel_seq(seeds_ref, rowmax_ref, qT_ref, keys_ref, out_ref, wpos,
+                     aacc, *, nb: int, nt: int, kr: int):
+    """Sequential-window variant of `_rank_kernel`: instead of host-side
+    per-band searchsorted windows, the scan start is carried across bands
+    in SMEM (queries are monotone per pair) and each band scans key chunks
+    until the per-chunk max (prefetched `rowmax` = keys2d[:, 127], SMEM)
+    passes its own max query + 1 — exact windows, zero host-side
+    per-band work. `seeds` = searchsorted row of each pair's first query
+    (one scalar per pair)."""
+    t = pl.program_id(0)
+
+    @pl.when(jax.lax.rem(t, nt) == 0)
+    def _():
+        wpos[0] = seeds_ref[t // nt]
+
+    for b in range(nb):
+        q = qT_ref[0, :, b : b + 1]  # [128, 1]
+        qm1 = q - 1
+        qp1 = q + 1
+        qmax = qT_ref[0, 127, b]  # queries sorted: lane 127 is the band max
+        qmax2 = qmax + 2
+        start = wpos[0]
+
+        def cond(carry, start=start, qmax2=qmax2):
+            r, _, _ = carry
+            prev_ok = (rowmax_ref[jnp.maximum(r - 1, 0)] < qmax2) & (
+                rowmax_ref[jnp.maximum(r - 1, 0)] < _CLAMP_Q
+            )
+            return (r < kr) & ((r == start) | prev_ok)
+
+        # accumulate into VMEM scratch so the while carry is scalars only
+        # (two [128,128] vreg carries forced bank copies per iteration)
+        aacc[0] = jnp.zeros((128, 128), jnp.int32)
+        aacc[1] = jnp.zeros((128, 128), jnp.int32)
+
+        def body(carry, q=q, qm1=qm1, qp1=qp1, qmax=qmax):
+            r, rstar, seen = carry
+            k = keys_ref[pl.ds(r, 1), :]  # [1, 128]
+            lt = (k < q).astype(jnp.int32)
+            eq = (
+                (k == qm1).astype(jnp.int32)
+                + jnp.where(k == q, 1 << 10, 0)
+                + jnp.where(k == qp1, 1 << 20, 0)
+            )
+            aacc[0] += lt
+            aacc[1] += eq
+            hit = rowmax_ref[r] >= qmax
+            rstar = jnp.where(seen | ~hit, rstar, r)
+            return r + 1, rstar, seen | hit
+
+        _, rstar, _ = jax.lax.while_loop(cond, body, (start, kr - 1, False))
+        cnt = start * 128 + jnp.sum(aacc[0], axis=1, keepdims=True)  # [128, 1]
+        es = jnp.sum(aacc[1], axis=1, keepdims=True)
+        fm = jnp.minimum(es & 1023, 1)
+        f0 = jnp.minimum((es >> 10) & 1023, 1)
+        fp = jnp.minimum((es >> 20) & 1023, 1)
+        out_ref[0, :, b : b + 1] = cnt * 8 + fm * 4 + f0 * 2 + fp
+        # next band starts at the first chunk whose max reached this band's
+        # max query: everything before it is < every later query
+        wpos[0] = rstar
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "seq"))
+def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
+                     seq: bool = True):
     """keys [Vk] i32 sorted ascending (entries ≥ INVALID_Q = padding);
     queries [P, Vq] i32, non-decreasing per row (≥ INVALID_Q = padding).
     Returns packed [P, Vq] i32 = count(valid keys < q)·8 + (q−1∈keys)·4 +
     (q∈keys)·2 + (q+1∈keys)·1. Flags at padding queries are garbage — the
     caller masks them. `count` is exactly searchsorted-left, monotone per
-    row, so the result is a valid anchor-format rulebook row."""
+    row, so the result is a valid anchor-format rulebook row.
+
+    `seq=True` (default): windows tracked in-kernel (one host searchsorted
+    per PAIR); `seq=False`: per-band windows from a host searchsorted."""
     vk = keys.shape[0]
     p, vq = queries.shape
     keys_c = jnp.minimum(keys, _CLAMP_Q)
@@ -687,38 +773,64 @@ def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8):
     )
     nt = vqp // tile
     nbands = vqp // 128
-    # per-band key-row windows from ONE vectorized searchsorted over the
-    # band-start queries (P·Vq/128 queries ≈ 17k at Waymo s0 — ~1 ms,
-    # replacing ~35 ms of full-size table gathers + cummax)
-    qs = qp[:, ::128]
-    pos = (
-        jnp.searchsorted(keys2d.reshape(-1), qs.reshape(-1), side="left")
-        .astype(jnp.int32)
-        .reshape(p, nbands)
-    )
-    nxt = jnp.concatenate(
-        [pos[:, 1:], jnp.full((p, 1), kr * 128 - 1, jnp.int32)], axis=1
-    )
-    wrow = pos // 128
-    last = jnp.minimum((nxt + 1) // 128, kr - 1)
-    nrows = jnp.maximum(last - wrow + 1, 1)
     qT = qp.reshape(p, nt, nb, 128).transpose(0, 1, 3, 2).reshape(p * nt, 128, nb)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(p * nt,),
-        in_specs=[
-            pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # keys2d resident
-        ],
-        out_specs=pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
-    )
-    out = pl.pallas_call(
-        functools.partial(_rank_kernel, nb=nb),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((p * nt, 128, nb), jnp.int32),
-        interpret=_INTERPRET,
-    )(wrow.reshape(-1), nrows.reshape(-1), qT, keys2d)
+    if seq:
+        flat = keys2d.reshape(-1)
+        seeds = (
+            jnp.searchsorted(flat, qp[:, 0], side="left").astype(jnp.int32)
+            // 128
+        )  # [p] — one scalar per pair
+        rowmax = keys2d[:, 127]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(p * nt,),
+            in_specs=[
+                pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # keys2d resident
+            ],
+            out_specs=pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.VMEM((2, 128, 128), jnp.int32),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_rank_kernel_seq, nb=nb, nt=nt, kr=kr),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((p * nt, 128, nb), jnp.int32),
+            interpret=_INTERPRET,
+        )(seeds, rowmax, qT, keys2d)
+    else:
+        # per-band key-row windows from ONE vectorized searchsorted over
+        # the band-start queries (P·Vq/128 queries ≈ 17k at Waymo s0)
+        qs = qp[:, ::128]
+        pos = (
+            jnp.searchsorted(keys2d.reshape(-1), qs.reshape(-1), side="left")
+            .astype(jnp.int32)
+            .reshape(p, nbands)
+        )
+        nxt = jnp.concatenate(
+            [pos[:, 1:], jnp.full((p, 1), kr * 128 - 1, jnp.int32)], axis=1
+        )
+        wrow = pos // 128
+        last = jnp.minimum((nxt + 1) // 128, kr - 1)
+        nrows = jnp.maximum(last - wrow + 1, 1)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(p * nt,),
+            in_specs=[
+                pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # keys2d resident
+            ],
+            out_specs=pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+        )
+        out = pl.pallas_call(
+            functools.partial(_rank_kernel, nb=nb),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((p * nt, 128, nb), jnp.int32),
+            interpret=_INTERPRET,
+        )(wrow.reshape(-1), nrows.reshape(-1), qT, keys2d)
     packed = (
         out.reshape(p, nt, 128, nb).transpose(0, 1, 3, 2).reshape(p, vqp)[:, :vq]
     )
@@ -880,9 +992,13 @@ def strided_conv_packed(
 
     def fwd(feats, w2d):
         # residual-carried structure arrays: see subm_conv9's note on
-        # closure-capture rematerialization
+        # closure-capture rematerialization; feat3 shared fwd ↔ dW
         packed_inv = inv[0] if inv is not None else None
-        return f(feats, w2d), (feats, w2d, packed, packed_inv, out_valid)
+        f3 = feat3_of(packed, feats)
+        out = fused_gather_gemm(
+            feats, packed, w2d, f3, band=band, wslack=wslack
+        ) * out_valid[:, None].astype(jnp.float32)
+        return out, (feats, w2d, packed, packed_inv, out_valid, f3)
 
     def _d_feats_fused(w2d, g, packed_inv):
         """d_features as ANOTHER fused gather over the inverse rulebook:
@@ -941,7 +1057,7 @@ def strided_conv_packed(
         )
 
     def bwd(res, g):
-        feats, w2d, packed_r, packed_inv, ov = res
+        feats, w2d, packed_r, packed_inv, ov, f3 = res
         g = g * ov[:, None].astype(g.dtype)
         if inv is not None:
             d_feats = _d_feats_fused(w2d, g.astype(jnp.float32), packed_inv)
@@ -950,7 +1066,7 @@ def strided_conv_packed(
         d_feats = d_feats.astype(feats.dtype)
 
         dw_full = fused_gather_dw(
-            feats, packed_r, g.astype(jnp.float32), band=band, wslack=wslack
+            feats, packed_r, g.astype(jnp.float32), f3, band=band, wslack=wslack
         )  # [n_pairs·3·cin, O]
         return d_feats, dw_full.astype(w2d.dtype)
 

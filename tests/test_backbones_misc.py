@@ -97,3 +97,27 @@ def test_swin_nondivisible_size_and_drop_path():
     assert out["res3"].shape == (2, 7, 9, 64)  # ceil(13/2), ceil(17/2)... patch merge halves
     out_t = m.apply(v, x, True, rngs={"dropout": jax.random.key(1)})
     assert all(np.isfinite(np.asarray(o)).all() for o in out_t.values())
+
+
+def test_resnet_deform_stages():
+    """deform_on_per_stage wires DeformConv into conv2 (reference
+    DeformBottleneckBlock); zero-init offsets → v1 == plain conv sampling
+    at integer taps, so outputs stay finite and shaped identically."""
+    import jax
+    import jax.numpy as jnp
+
+    from efg_tpu.modeling.backbones.resnet import ResNet
+
+    x = jnp.ones((1, 64, 64, 3), jnp.float32)
+    net = ResNet(
+        depth=50, out_features=("res3",), freeze_at=0,
+        deform_on_per_stage=(False, True, False, False),
+        deform_modulated=True,
+    )
+    vars_ = net.init(jax.random.key(0), x, False)
+    flat = jax.tree_util.tree_flatten_with_path(vars_["params"])[0]
+    names = {"/".join(str(k) for k in path) for path, _ in flat}
+    assert any("offset_conv" in n and "res3" in n for n in names), sorted(names)[:5]
+    out = net.apply(vars_, x, False)
+    assert out["res3"].shape == (1, 8, 8, 512)
+    assert bool(jnp.isfinite(out["res3"]).all())

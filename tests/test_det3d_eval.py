@@ -92,3 +92,80 @@ def test_nuscenes_metric_core():
     assert r["TRANS"] == pytest.approx(np.sqrt(2) * 0.3, rel=0.05)
     assert r["SCALE"] == pytest.approx(0.0, abs=1e-6)
     assert r["ORIENT"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_nuscenes_ap_vs_independent_devkit_model():
+    """Cross-check _ClassAccumulator against an independent re-statement of
+    the devkit algorithm (nuscenes-devkit detection/algo.py accumulate +
+    calc_ap, re-implemented here from the published algorithm): global
+    confidence-ordered greedy center-distance matching, 101-point recall
+    interpolation, recall/precision floors at 0.1."""
+    import numpy as np
+
+    from efg_tpu.evaluator.nuscenes_evaluator import _ClassAccumulator
+
+    rs = np.random.RandomState(0)
+    frames = []
+    for _ in range(6):
+        n_gt = rs.randint(1, 8)
+        gt = np.zeros((n_gt, 9))
+        gt[:, :2] = rs.uniform(-40, 40, (n_gt, 2))
+        gt[:, 3:6] = rs.uniform(1, 4, (n_gt, 3))
+        gt[:, 8] = rs.uniform(-np.pi, np.pi, n_gt)
+        n_det = rs.randint(0, 10)
+        det = np.zeros((n_det, 9))
+        # half the dets near GTs, half noise
+        for i in range(n_det):
+            if i % 2 == 0 and n_gt:
+                det[i] = gt[i % n_gt]
+                det[i, :2] += rs.randn(2) * 1.0
+            else:
+                det[i, :2] = rs.uniform(-40, 40, 2)
+                det[i, 3:6] = rs.uniform(1, 4, 3)
+        sc = rs.uniform(0, 1, n_det)
+        frames.append((det, sc, gt))
+
+    # ---- independent devkit-model computation (per threshold) ----------
+    def devkit_ap(thr):
+        # flatten with frame ids, sort globally by confidence
+        rows = []
+        for fi, (det, sc, gt) in enumerate(frames):
+            for i in range(len(det)):
+                rows.append((sc[i], fi, i))
+        rows.sort(key=lambda r: -r[0])
+        taken = {fi: np.zeros(len(gt), bool) for fi, (_, _, gt) in enumerate(frames)}
+        tp, fp = [], []
+        npos = sum(len(gt) for _, _, gt in frames)
+        for sc_i, fi, i in rows:
+            det, _, gt = frames[fi]
+            best, bestd = None, thr
+            for j in range(len(gt)):
+                if taken[fi][j]:
+                    continue
+                d = np.linalg.norm(det[i, :2] - gt[j, :2])
+                if d < bestd:
+                    best, bestd = j, d
+            if best is not None:
+                taken[fi][best] = True
+                tp.append(1); fp.append(0)
+            else:
+                tp.append(0); fp.append(1)
+        tp = np.cumsum(tp); fp = np.cumsum(fp)
+        rec = tp / npos
+        prec = tp / np.maximum(tp + fp, 1e-9)
+        rec_interp = np.linspace(0, 1, 101)
+        prec = np.interp(rec_interp, rec, prec, right=0)
+        prec = prec[round(100 * 0.1) + 1 :]
+        prec = prec - 0.1
+        prec[prec < 0] = 0
+        return float(np.mean(prec)) / (1.0 - 0.1)
+
+    acc = _ClassAccumulator()
+    for det, sc, gt in frames:
+        acc.frames.append(dict(det=det, scores=sc, gt=gt))
+    got = acc.ap_and_tp()
+    for thr in (0.5, 1.0, 2.0, 4.0):
+        np.testing.assert_allclose(
+            got[f"AP@{thr}"], devkit_ap(thr), atol=1e-9,
+            err_msg=f"thr={thr}",
+        )

@@ -63,23 +63,32 @@ def main():
 
     timed("build_monotone_rule9 @240k", lambda f, s: PK.build_monotone_rule9(s.replace(features=f), 3), st.features, st)
 
-    packed = jax.jit(lambda s: PK.build_monotone_rule9(s, 3))(st)
+    raw = jax.jit(lambda s: PK.build_monotone_rule9(s, 3))(st)
     rs = np.random.RandomState(0)
 
-    for c in (16, 32, 64, 128):
-        f = jnp.asarray(rs.randn(st.capacity, c).astype(np.float32))
-        w = jnp.asarray(rs.randn(27, c, c).astype(np.float32) * 0.05)
-        timed(
-            f"pallas subm C{c} @240k fwd",
-            lambda f, w: PK.subm_conv9(f, packed, w, st.valid), f, w,
-        )
-        timed(
-            f"pallas subm C{c} @240k fwd+bwd",
-            lambda f, w: jax.grad(
-                lambda ff, ww: jnp.sum(PK.subm_conv9(ff, packed, ww, st.valid) ** 2),
-                argnums=(0, 1))(f, w),
-            f, w,
-        )
+    tiles = [int(t) for t in (sys.argv[1:] or [512])]
+    chans = [int(c) for c in os.environ.get("BP_CHANS", "16,32,64,128").split(",")]
+    for tile in tiles:
+        for c in chans:
+            band = int(os.environ.get("BP_BAND", "192"))
+            wslack = int(os.environ.get("BP_WSLACK", "512"))
+            packed = jax.jit(
+                lambda r: PK.prep_rulebook(r, st.capacity, c, tile=tile,
+                                           band=band, wslack=wslack)
+            )(raw)
+            f = jnp.asarray(rs.randn(st.capacity, c).astype(np.float32))
+            w = jnp.asarray(rs.randn(27, c, c).astype(np.float32) * 0.05)
+            timed(
+                f"pallas subm C{c} T{tile} B{band} @240k fwd",
+                lambda f, w, packed=packed: PK.subm_conv9(f, packed, w, st.valid), f, w,
+            )
+            timed(
+                f"pallas subm C{c} T{tile} B{band} @240k fwd+bwd",
+                lambda f, w, packed=packed: jax.grad(
+                    lambda ff, ww: jnp.sum(PK.subm_conv9(ff, packed, ww, st.valid) ** 2),
+                    argnums=(0, 1))(f, w),
+                f, w,
+            )
 
 
 if __name__ == "__main__":
