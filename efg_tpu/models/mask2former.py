@@ -252,7 +252,9 @@ class Mask2Former(nn.Module):
 
 def _sample_points(masks, points_xy):
     """masks [..., H, W], points [K, 2] normalized (x, y) → [..., K]
-    (bilinear, align_corners=False as the reference `point_sample`)."""
+    (bilinear, align_corners=False as the reference `point_sample` =
+    `grid_sample(2p-1, padding_mode="zeros")`: taps outside the grid
+    contribute ZERO, so values fade at the half-pixel border)."""
     h, w = masks.shape[-2:]
     gx = points_xy[:, 0] * w - 0.5
     gy = points_xy[:, 1] * h - 0.5
@@ -261,6 +263,7 @@ def _sample_points(masks, points_xy):
     for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
         xi, yi = x0 + dx, y0 + dy
         wgt = (1 - jnp.abs(gx - xi)) * (1 - jnp.abs(gy - yi))
+        wgt = wgt * ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
         xi = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         out = out + masks[..., yi, xi] * wgt
@@ -274,18 +277,24 @@ def uncertainty_point_coords(
     num_points: int,
     oversample_ratio: float,
     importance_sample_ratio: float,
+    cand: jax.Array | None = None,
+    rand_points: jax.Array | None = None,
 ):
     """PointRend-style importance sampling, fixed shapes (reference
     `criterion.get_uncertain_point_coords_with_randomness`): draw
     num_points·oversample uniform candidates, keep the top
     importance_ratio·num_points by uncertainty −|logit| of the SAMPLED
-    prediction, top up with fresh uniform points. Returns [..., P, 2]."""
+    prediction, top up with fresh uniform points. Returns [..., P, 2].
+
+    `cand` / `rand_points` override the drawn candidate and top-up point
+    sets (deterministic parity tests against the torch reference)."""
     lead = coarse_logits.shape[:-2]
     n_over = int(num_points * oversample_ratio)
     n_imp = int(num_points * importance_sample_ratio)
     n_rand = num_points - n_imp
     r1, r2 = jax.random.split(rng)
-    cand = jax.random.uniform(r1, lead + (n_over, 2))
+    if cand is None:
+        cand = jax.random.uniform(r1, lead + (n_over, 2))
 
     def sample_one(m, c):
         return _sample_points(m, c)
@@ -297,7 +306,10 @@ def uncertainty_point_coords(
     idx = jax.lax.top_k(unc, n_imp)[1]  # [N, n_imp]
     imp = jnp.take_along_axis(flat_cand, idx[..., None], axis=1)
     if n_rand > 0:
-        rnd = jax.random.uniform(r2, (flat_cand.shape[0], n_rand, 2))
+        if rand_points is None:
+            rnd = jax.random.uniform(r2, (flat_cand.shape[0], n_rand, 2))
+        else:
+            rnd = rand_points.reshape(-1, n_rand, 2)
         out = jnp.concatenate([imp, rnd], axis=1)
     else:
         out = imp
@@ -313,6 +325,51 @@ def _dice_loss(inputs, targets, eps=1.0):
     num = 2 * (inputs * targets).sum(-1)
     den = inputs.sum(-1) + targets.sum(-1)
     return 1 - (num + eps) / (den + eps)
+
+
+def classification_loss(cls_logits, assign, ok, gt_cls, *, num_classes, no_obj):
+    """Matched queries take the GT class, the rest no-object; weighted CE
+    normalized by the weight sum (reference `SetCriterion.loss_labels` /
+    `F.cross_entropy(..., weight=empty_weight)` semantics)."""
+    a = jnp.where(ok, assign, 0)
+    b, qn, _ = cls_logits.shape
+    tgt_cls = jnp.full((b, qn), num_classes, jnp.int32)
+    tgt_cls = tgt_cls.at[jnp.arange(b)[:, None], a].set(
+        jnp.where(ok, gt_cls, num_classes)
+    )
+    weights = jnp.where(tgt_cls == num_classes, no_obj, 1.0)
+    logp = jax.nn.log_softmax(cls_logits, -1)
+    ce = -jnp.take_along_axis(logp, tgt_cls[..., None], -1)[..., 0]
+    return (ce * weights).sum() / weights.sum()
+
+
+def point_mask_losses(mp, gt_p, ok, *, num_points, num_boxes):
+    """Point-sampled BCE + dice over matched pairs (reference
+    `sigmoid_ce_loss` / `dice_loss`: per-pair point-mean BCE and dice,
+    summed and divided by the GT count)."""
+    okf = ok[..., None].astype(mp.dtype)
+    loss_bce = (_bce_logits(mp, gt_p) * okf).sum() / (num_points * num_boxes)
+    loss_dice = (
+        _dice_loss(jax.nn.sigmoid(mp), gt_p) * ok.astype(mp.dtype)
+    ).sum() / num_boxes
+    return loss_bce, loss_dice
+
+
+def matcher_cost(prob, pred_pts, gt_cls, gt_pts, gt_ok, *,
+                 w_ce, w_bce, w_dice, num_points):
+    """Per-image Hungarian cost [Q, G] (reference `matcher.py:118-158`):
+    −softmax class prob at the GT class + per-point-mean BCE + dice over a
+    shared point set; invalid GT columns get a large sentinel cost."""
+    cost_cls = -prob[:, gt_cls]  # [Q, G]
+    bce_pos = _bce_logits(pred_pts, jnp.ones_like(pred_pts))  # [Q, K]
+    bce_neg = _bce_logits(pred_pts, jnp.zeros_like(pred_pts))
+    cost_bce = (bce_pos @ gt_pts.T + bce_neg @ (1 - gt_pts).T) / num_points
+    sig = jax.nn.sigmoid(pred_pts)
+    num = 2 * (sig @ gt_pts.T)
+    den = sig.sum(-1, keepdims=True) + gt_pts.sum(-1)[None, :]
+    cost_dice = 1 - (num + 1) / (den + 1)
+    c = w_ce * cost_cls + w_bce * cost_bce + w_dice * cost_dice
+    return jnp.where(gt_ok[None, :], c, 1e8)
 
 
 def compute_loss(
@@ -350,34 +407,19 @@ def compute_loss(
 
         # matcher cost
         prob = jax.nn.softmax(cls_logits, -1)
-
-        def cost_one(pb, pp, tc, tp, tm):
-            cost_cls = -pb[:, tc]  # [Q, G]
-            bce_pos = _bce_logits(pp, jnp.ones_like(pp))  # [Q, K]
-            bce_neg = _bce_logits(pp, jnp.zeros_like(pp))
-            cost_bce = (bce_pos @ tp.T + bce_neg @ (1 - tp).T) / num_points
-            sig = jax.nn.sigmoid(pp)
-            num = 2 * (sig @ tp.T)
-            den = sig.sum(-1, keepdims=True) + tp.sum(-1)[None, :]
-            cost_dice = 1 - (num + 1) / (den + 1)
-            c = w_ce * cost_cls + w_bce * cost_bce + w_dice * cost_dice
-            return jnp.where(tm[None, :], c, 1e8)
-
-        cost = jax.vmap(cost_one)(prob, pred_pts, gt_cls, gt_pts, gt_ok)
+        cost = jax.vmap(
+            lambda pb, pp, tc, tp, tm: matcher_cost(
+                pb, pp, tc, tp, tm, w_ce=w_ce, w_bce=w_bce, w_dice=w_dice,
+                num_points=num_points,
+            )
+        )(prob, pred_pts, gt_cls, gt_pts, gt_ok)
         assign = hungarian_match(cost, gt_ok)  # [B, G]
         ok = assign >= 0
         a = jnp.where(ok, assign, 0)
 
-        # classification: matched queries get the GT class; rest no-object
-        b, qn, _ = cls_logits.shape
-        tgt_cls = jnp.full((b, qn), num_classes, jnp.int32)
-        tgt_cls = tgt_cls.at[jnp.arange(b)[:, None], a].set(
-            jnp.where(ok, gt_cls, num_classes)
+        loss_ce = classification_loss(
+            cls_logits, assign, ok, gt_cls, num_classes=num_classes, no_obj=no_obj
         )
-        weights = jnp.where(tgt_cls == num_classes, no_obj, 1.0)
-        logp = jax.nn.log_softmax(cls_logits, -1)
-        ce = -jnp.take_along_axis(logp, tgt_cls[..., None], -1)[..., 0]
-        loss_ce = (ce * weights).sum() / weights.sum()
 
         # importance-sampled point set per matched pair (reference
         # `loss_masks` + `get_uncertain_point_coords_with_randomness`)
@@ -394,11 +436,9 @@ def compute_loss(
         mp = jax.vmap(jax.vmap(_sample_points))(matched, coords)  # [B, G, K]
         gt_p = jax.vmap(jax.vmap(_sample_points))(gt_masks, coords)
         gt_p = jax.lax.stop_gradient(gt_p)
-        okf = ok[..., None].astype(mp.dtype)
-        loss_bce = (_bce_logits(mp, gt_p) * okf).sum() / (num_points * num_boxes)
-        loss_dice = (
-            _dice_loss(jax.nn.sigmoid(mp), gt_p) * ok.astype(mp.dtype)
-        ).sum() / num_boxes
+        loss_bce, loss_dice = point_mask_losses(
+            mp, gt_p, ok, num_points=num_points, num_boxes=num_boxes
+        )
 
         sfx = "" if li == d - 1 else f"_{li}"
         losses[f"loss_ce{sfx}"] = w_ce * loss_ce

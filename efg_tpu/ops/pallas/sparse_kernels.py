@@ -233,9 +233,13 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
 
 
 def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
-                w_ref, feat_ref, out_ref, wbuf, obuf, gacc, stacked, wsems,
-                osem, *, cin: int, band: int, chunkw: int, c3p: int,
-                n_steps: int, n_groups: int = 3, pack2: bool = False):
+                w_ref, feat_ref, out_ref, *rest, cin: int, band: int,
+                chunkw: int, c3p: int, n_steps: int, n_groups: int = 3,
+                pack2: bool = False, emit: bool = False):
+    if emit:
+        st_out_ref, wbuf, obuf, gacc, stacked, wsems, osem = rest
+    else:
+        wbuf, obuf, gacc, stacked, wsems, osem = rest
     i = pl.program_id(0)
     g = pl.program_id(1)
     tile = out_ref.shape[0]
@@ -255,6 +259,8 @@ def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
         stacked[:], w_ref[pl.ds(wsl, 9 * cin), :], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [T, O]
+    if emit:
+        st_out_ref[:] = stacked[:]
 
 
 def _feat3(features: jax.Array, vpad: int, pack2: bool = False) -> jax.Array:
@@ -417,7 +423,9 @@ def feat3_of(rule: "PreppedRule", features: jax.Array) -> jax.Array:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "band", "wslack"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "band", "wslack", "emit_stacked")
+)
 def fused_gather_gemm(
     features: jax.Array,  # [V_in, C]
     rule,  # PreppedRule, or a raw [P=3·G, V_out] int32 anchor rulebook
@@ -427,10 +435,18 @@ def fused_gather_gemm(
     tile: int = TILE,
     band: int = BAND,
     wslack: int = WSLACK,
+    emit_stacked: bool = False,
 ) -> jax.Array:
     """out [V_out, O] f32 = the packed-rulebook sparse-conv contraction,
     fused in Pallas. V_in == V_out for SubM convs; for strided convs the
-    rulebook indexes the input rows from the output sites."""
+    rulebook indexes the input rows from the output sites.
+
+    emit_stacked=True additionally returns the gathered tap buffer
+    [P·3·C, vt] bf16 (rows (pair, tap, channel), flag-masked). The backward
+    pass uses it to turn dW into ONE dense GEMM instead of re-running the
+    whole gather (the dW kernel cost ≈ a full forward): by rulebook
+    symmetry dW[κ] = Σ_u f[u]·stacked_g[flip(κ), u] where stacked_g is the
+    d_features pass's gather of the output grads."""
     v_in, cin = features.shape
     if not isinstance(rule, PreppedRule) or rule.pack2 != (3 * _rup(cin, 16) <= 64):
         raw = rule.raw if isinstance(rule, PreppedRule) else rule
@@ -447,6 +463,17 @@ def fused_gather_gemm(
     c3p = feat3.shape[1]
     n_steps = (vt // tile) * n_groups
 
+    out_specs = pl.BlockSpec((tile, cout), lambda i, g, *_: (i, 0))
+    out_shape = jax.ShapeDtypeStruct((vt, cout), jnp.float32)
+    if emit_stacked:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((9 * cin, tile), lambda i, g, *_: (g, i)),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((n_groups * 9 * cin, vt), jnp.bfloat16),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(vt // tile, n_groups),
@@ -455,7 +482,7 @@ def fused_gather_gemm(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [P·3·C, O]
             pl.BlockSpec(memory_space=pl.ANY),  # feat3 stays in HBM
         ],
-        out_specs=pl.BlockSpec((tile, cout), lambda i, g, *_: (i, 0)),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
             pltpu.VMEM((2 * band, c3p), jnp.bfloat16),
@@ -465,16 +492,18 @@ def fused_gather_gemm(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(_fwd_kernel, cin=cin, band=band, chunkw=chunkw,
                           c3p=c3p, n_steps=n_steps, n_groups=n_groups,
-                          pack2=pack2),
+                          pack2=pack2, emit=emit_stacked),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((vt, cout), jnp.float32),
+        out_shape=out_shape,
         interpret=_INTERPRET,
     )(wstarts, bstarts, bounds, sflags, packed,
       weights.astype(jnp.bfloat16), feat3)
-    return out[:v_out]
+    if emit_stacked:
+        return res[0][:v_out], res[1]
+    return res[:v_out]
 
 
 # ---------------------------------------------------------------------------
@@ -621,6 +650,29 @@ def subm_conv9(
         g = g * ov[:, None].astype(g.dtype)
         # full 27-raster reversal = reverse pairs AND taps jointly
         w_flip = jnp.swapaxes(w[::-1], 1, 2)  # [K, O, C]
+        if cout % 16 == 0:
+            # d_features gather also emits its stacked tap buffer
+            # stacked_g[κ·O+o, u] = found_κ(u)·ĝ[r_κ(u), o], which turns dW
+            # into ONE dense MXU GEMM (the dedicated dW kernel re-ran the
+            # entire gather ≈ a full forward). Change of variables
+            # v = r_{flip(κ)}(u) in dW[κ] = Σ_v f[r_κ(v)]ᵀĝ[v] gives
+            # dW[κ][c,o] = Σ_u f[u,c]·stacked_g[flip(κ)·O+o, u]; pad rows of
+            # fpad are zero so flag-garbage in padding columns cancels.
+            d_feats, stacked_g = fused_gather_gemm(
+                g.astype(jnp.float32), packed_r,
+                w_flip.reshape(k3 * cout, cin), emit_stacked=True,
+            )
+            d_feats = d_feats.astype(feats.dtype)
+            vt = stacked_g.shape[1]
+            fpad = jnp.pad(
+                feats, ((0, vt - feats.shape[0]), (0, 0))
+            ).astype(jnp.bfloat16)
+            dw = jax.lax.dot_general(
+                stacked_g, fpad, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [(κ', o), c] rows in κ' raster order
+            dw = jnp.swapaxes(dw.reshape(k3, cout, cin)[::-1], 1, 2)
+            return d_feats, dw.astype(w.dtype)
         d_feats = fused_gather_gemm(
             g.astype(jnp.float32), packed_r, w_flip.reshape(k3 * cout, cin)
         ).astype(feats.dtype)
@@ -1000,10 +1052,17 @@ def strided_conv_packed(
         ) * out_valid[:, None].astype(jnp.float32)
         return out, (feats, w2d, packed, packed_inv, out_valid, f3)
 
-    def _d_feats_fused(w2d, g, packed_inv):
+    def _d_feats_fused(w2d, g, packed_inv, feats=None):
         """d_features as ANOTHER fused gather over the inverse rulebook:
         gather source = output-row grads, weights = transposed κ blocks
-        routed by the pseudo-pair tap map."""
+        routed by the pseudo-pair tap map.
+
+        When `feats` is given, the gather also emits its stacked tap buffer
+        stacked_g[(pp,t)·O+o, u] = found·ĝ[out_κ(u), o] (κ = wmap[pp][t]) and
+        dW comes back as ONE dense GEMM + static wmap block routing:
+        dW[κ][c,o] = Σ_u f[u,c]·ĝ[out_κ(u),o] — the inverse rulebook already
+        encodes the v = out_κ(u) correspondence, so no raster flip. Returns
+        (d_feats, dw[K·cin, O]) then; replaces the dW re-gather kernel."""
         _, wmap = inv
         # w2d rows are ((κz·kh+κy), κx-tap, c); flat κ = pair·kw3 + κx
         wk = w2d.reshape(n_pairs, 3, cin, cout)
@@ -1020,8 +1079,30 @@ def strided_conv_packed(
         # inverse spread per 128 input rows is ~128·(V_out/V_in) < 128 —
         # the default (SubM-sized) band suffices regardless of the
         # forward's widened band
-        d = fused_gather_gemm(g, packed_inv, w_inv)
-        return d[:v_in]
+        if feats is None:
+            d = fused_gather_gemm(g, packed_inv, w_inv)
+            return d[:v_in]
+        d, stacked_g = fused_gather_gemm(g, packed_inv, w_inv,
+                                         emit_stacked=True)
+        vt = stacked_g.shape[1]
+        fpad = jnp.pad(
+            feats, ((0, vt - feats.shape[0]), (0, 0))
+        ).astype(jnp.bfloat16)
+        g2 = jax.lax.dot_general(
+            stacked_g, fpad, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(len(wmap), 3, cout, cin)
+        dwk = jnp.zeros((n_pairs * kw3, cin, cout), jnp.float32)
+        for pp, pair_taps in enumerate(wmap):
+            for t, ki in enumerate(pair_taps):
+                if ki >= 0:
+                    dwk = dwk.at[ki].add(jnp.swapaxes(g2[pp, t], 0, 1))
+        if kw3 == 1:
+            dw_full = dwk.reshape(n_pairs, 1, cin, cout)
+            dw_full = jnp.pad(dw_full, ((0, 0), (1, 1), (0, 0), (0, 0)))
+        else:
+            dw_full = dwk.reshape(n_pairs, 3, cin, cout)
+        return d[:v_in], dw_full.reshape(n_pairs * 3 * cin, cout)
 
     def _d_feats_xla(w2d, g, rule):
         # invert the packed map (injective per (pair, tap)) and run the XLA
@@ -1059,6 +1140,11 @@ def strided_conv_packed(
     def bwd(res, g):
         feats, w2d, packed_r, packed_inv, ov, f3 = res
         g = g * ov[:, None].astype(g.dtype)
+        if inv is not None and cout % 16 == 0:
+            d_feats, dw_full = _d_feats_fused(
+                w2d, g.astype(jnp.float32), packed_inv, feats
+            )
+            return d_feats.astype(feats.dtype), dw_full.astype(w2d.dtype)
         if inv is not None:
             d_feats = _d_feats_fused(w2d, g.astype(jnp.float32), packed_inv)
         else:
