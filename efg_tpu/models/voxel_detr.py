@@ -99,6 +99,15 @@ class Box3dAttention(nn.Module):
     num_head: int
     with_rotation: bool = True
     kernel_size: int = 5
+    # sampling backend: "sample" = exact per-point gathers (reference CUDA
+    # semantics, memory-heavy on TPU); "dense" = window attention with each
+    # query anchored at its own raster cell (encoder self-attn; shifted
+    # slices, no gathers); "gather" = window attention around each query's
+    # box center (decoder cross-attn; full-width patch rows). The window
+    # backends bin bilinear taps into ±window_radius integer offsets
+    # (see `ops/box_attention.py bin_window_coeffs`).
+    backend: str = "sample"
+    window_radius: int = 4
 
     @nn.compact
     def __call__(
@@ -140,7 +149,31 @@ class Box3dAttention(nn.Module):
             BA.kernel_indices(self.kernel_size, query.dtype),
         )  # [B, L, NH, NL, P, 2]
 
-        out = BA.box_attention_sample(values, grids, attn, num_heads=self.num_head)
+        if self.backend != "sample" and self.num_level == 1:
+            v = values[0]
+            h, w = v.shape[1:3]
+            base = jnp.stack(
+                [
+                    jnp.clip((ref_windows[..., 1] * h).astype(jnp.int32), 0, h - 1),
+                    jnp.clip((ref_windows[..., 0] * w).astype(jnp.int32), 0, w - 1),
+                ],
+                axis=-1,
+            )
+            coeffs = BA.bin_window_coeffs(
+                grids, attn, base, h, w, self.window_radius
+            )
+            if self.backend == "dense":
+                out = BA.box_attention_window_dense(
+                    v, coeffs, num_heads=self.num_head,
+                    radius=self.window_radius,
+                )
+            else:
+                out = BA.box_attention_window_gather(
+                    v, coeffs, base, num_heads=self.num_head,
+                    radius=self.window_radius,
+                )
+        else:
+            out = BA.box_attention_sample(values, grids, attn, num_heads=self.num_head)
         return nn.Dense(self.d_model, name="out_proj", kernel_init=_xavier)(out)
 
 
@@ -149,6 +182,7 @@ class EncoderLayer(nn.Module):
     num_head: int
     num_level: int
     dim_feedforward: int
+    box_attn_backend: str = "window"  # "window" → dense (self-anchored)
 
     @nn.compact
     def __call__(self, src, pos, value_shapes, ref_windows, train: bool):
@@ -162,7 +196,8 @@ class EncoderLayer(nn.Module):
         q = src + pos
         src2 = Box3dAttention(
             self.d_model, self.num_level, self.num_head, with_rotation=False,
-            name="self_attn",
+            backend="dense" if self.box_attn_backend == "window" else "sample",
+            window_radius=4, name="self_attn",
         )(q, unflatten(src), ref_windows)
         src = nn.LayerNorm(name="norm1")(src + src2)
         ff = nn.Dense(self.dim_feedforward, name="linear1")(src)
@@ -175,6 +210,7 @@ class DecoderLayer(nn.Module):
     num_head: int
     num_level: int
     dim_feedforward: int
+    box_attn_backend: str = "window"  # "window" → gather (box-anchored)
 
     @nn.compact
     def __call__(self, idx, query, memory_levels, ref_windows, train: bool, attn_mask=None):
@@ -195,7 +231,8 @@ class DecoderLayer(nn.Module):
 
         cross = Box3dAttention(
             self.d_model, self.num_level, self.num_head, with_rotation=True,
-            name="cross_attn",
+            backend="gather" if self.box_attn_backend == "window" else "sample",
+            window_radius=8, name="cross_attn",
         )(query + query_pos if idx > 0 else query, memory_levels, ref_windows[..., :7])
         query = nn.LayerNorm(name="norm2")(query + cross)
 

@@ -76,6 +76,160 @@ def box_attention_sample(
     return out.reshape(b, l, c)
 
 
+def _window_offsets(radius: int):
+    s = 2 * radius + 1
+    return [(dy, dx) for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)], s
+
+
+def bin_window_coeffs(
+    grids: jax.Array,        # [B, L, NH, 1, P, 2] normalized (x, y)
+    attn_weights: jax.Array,  # [B, L, NH, 1, P]
+    base_yx: jax.Array,       # [B, L, 2] int32 anchor cell (y, x)
+    h: int,
+    w: int,
+    radius: int,
+) -> jax.Array:
+    """Bin every bilinear tap of every sample point into an integer-offset
+    window around the query's anchor cell.
+
+    Each of the P points contributes 4 bilinear taps at integer positions;
+    a tap at offset (dy, dx) from the anchor (clamped into ±radius) adds
+    its bilinear×attention weight to bin (dy+R)·(2R+1)+(dx+R). Taps outside
+    the feature map contribute zero (the CUDA kernel's border handling,
+    `box_attn_kernel.cuh`). Offsets beyond the radius are clamped to the
+    window edge — a documented deviation bounding the attention span to
+    ±radius cells (encoder ref windows are ~5 px, so radius 4–8 covers the
+    5×5 sampling grid with slack).
+
+    Returns A [B, L, NH, (2R+1)²] f32.
+    """
+    b, l, nh, nlvl, p, _ = grids.shape
+    assert nlvl == 1, "window path supports a single value level"
+    s = 2 * radius + 1
+    gx = grids[..., 0, :, 0] * w - 0.5  # [B, L, NH, P]
+    gy = grids[..., 0, :, 1] * h - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    fx = gx - x0
+    fy = gy - y0
+    bx = base_yx[..., 1][:, :, None, None]
+    by = base_yx[..., 0][:, :, None, None]
+    aw = attn_weights[..., 0, :]
+
+    acc = jnp.zeros((b, l, nh, s * s), jnp.float32)
+    oidx = jnp.arange(s * s, dtype=jnp.int32)
+    for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        xi = x0 + dx
+        yi = y0 + dy
+        wt = jnp.where(dx == 1, fx, 1 - fx) * jnp.where(dy == 1, fy, 1 - fy)
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        rx = jnp.clip(xi.astype(jnp.int32) - bx, -radius, radius)
+        ry = jnp.clip(yi.astype(jnp.int32) - by, -radius, radius)
+        o = (ry + radius) * s + (rx + radius)  # [B, L, NH, P]
+        contrib = (wt * aw * ok).astype(jnp.float32)
+        # compare-iota reduction: never materializes [..., P, S]
+        acc = acc + jnp.sum(
+            contrib[..., None] * (o[..., None] == oidx), axis=-2
+        )
+    return acc
+
+
+def _interleave(v: jax.Array, num_heads: int) -> jax.Array:
+    """[..., C] head-major (c = h·hd + d) → interleaved (c = d·NH + h)."""
+    c = v.shape[-1]
+    hd = c // num_heads
+    return v.reshape(v.shape[:-1] + (num_heads, hd)).swapaxes(-1, -2).reshape(
+        v.shape[:-1] + (c,)
+    )
+
+
+def _deinterleave(v: jax.Array, num_heads: int) -> jax.Array:
+    c = v.shape[-1]
+    hd = c // num_heads
+    return v.reshape(v.shape[:-1] + (hd, num_heads)).swapaxes(-1, -2).reshape(
+        v.shape[:-1] + (c,)
+    )
+
+
+def box_attention_window_dense(
+    value: jax.Array,   # [B, H, W, C]
+    coeffs: jax.Array,  # [B, H·W, NH, S²] from bin_window_coeffs
+    *,
+    num_heads: int,
+    radius: int,
+) -> jax.Array:
+    """Window attention where every query is anchored at its own cell
+    (encoder self-attention): out = Σ_o A[...,o] · shift_o(value).
+
+    Pure shifted slices — no gathers, no scatters; autodiff gives
+    pad-and-add for the backward. All arithmetic stays on [B, H, W, C]
+    (lane dim C, zero tile padding); the per-head coefficient is broadcast
+    over an interleaved channel layout (c = d·NH + h) so the broadcast is
+    a fused index remap, not a relayout.
+    """
+    b, h, w, c = value.shape
+    hd = c // num_heads
+    offsets, s = _window_offsets(radius)
+    vi = _interleave(value, num_heads)
+    vp = jnp.pad(vi, ((0, 0), (radius, radius), (radius, radius), (0, 0)))
+    a = coeffs.reshape(b, h, w, num_heads, s * s).astype(value.dtype)
+    out = jnp.zeros((b, h, w, c), value.dtype)
+    for o, (dy, dx) in enumerate(offsets):
+        a_o = a[..., o]  # [B, H, W, NH]
+        a_exp = jnp.broadcast_to(
+            a_o[:, :, :, None, :], (b, h, w, hd, num_heads)
+        ).reshape(b, h, w, c)
+        out = out + a_exp * vp[:, dy + radius : dy + radius + h,
+                               dx + radius : dx + radius + w]
+    return _deinterleave(out, num_heads).reshape(b, h * w, c)
+
+
+def box_attention_window_gather(
+    value: jax.Array,    # [B, H, W, C]
+    coeffs: jax.Array,   # [B, L, NH, S²]
+    base_yx: jax.Array,  # [B, L, 2] int32
+    *,
+    num_heads: int,
+    radius: int,
+    chunk: int = 512,
+) -> jax.Array:
+    """Window attention for scattered queries (decoder cross-attention):
+    gather each query's S² full-width channel rows (1 KB rows — no tile
+    padding) around its anchor cell, then a fused weighted reduction.
+    Chunked over queries to bound the patch buffer.
+    """
+    b, h, w, c = value.shape
+    hd = c // num_heads
+    offsets, s = _window_offsets(radius)
+    vi = _interleave(value, num_heads).reshape(b, h * w, c)
+    l = coeffs.shape[1]
+    off = jnp.asarray(offsets, jnp.int32)  # [S², 2] (dy, dx)
+    pad_l = (-l) % chunk
+    coeffs_p = jnp.pad(coeffs, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
+    base_p = jnp.pad(base_yx, ((0, 0), (0, pad_l), (0, 0)))
+    n_chunks = (l + pad_l) // chunk
+
+    def body(args):
+        a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
+        yy = jnp.clip(base_c[..., 0][:, :, None] + off[None, None, :, 0], 0, h - 1)
+        xx = jnp.clip(base_c[..., 1][:, :, None] + off[None, None, :, 1], 0, w - 1)
+        rows = (yy * w + xx).reshape(b, chunk * s * s)
+        patch = jnp.take_along_axis(vi, rows[..., None], axis=1)
+        patch = patch.reshape(b, chunk, s * s, c)
+        a_exp = jnp.broadcast_to(
+            a_c.swapaxes(2, 3)[:, :, :, None, :].astype(value.dtype),
+            (b, chunk, s * s, hd, num_heads),
+        ).reshape(b, chunk, s * s, c)
+        return (a_exp * patch).sum(axis=2)  # [B, chunk, C]
+
+    a_ch = coeffs_p.reshape(b, n_chunks, chunk, coeffs.shape[2], s * s).swapaxes(0, 1)
+    b_ch = base_p.reshape(b, n_chunks, chunk, 2).swapaxes(0, 1)
+    out = jax.lax.map(body, (a_ch, b_ch))  # [n_chunks, B, chunk, C]
+    out = out.swapaxes(0, 1).reshape(b, n_chunks * chunk, c)[:, :l]
+    return _deinterleave(out, num_heads)
+
+
 def make_box_grids(
     ref_boxes: jax.Array,
     ref_angles: jax.Array,

@@ -155,3 +155,80 @@ def test_detr_predict(detr_setup):
     assert out["box3d"].shape == (2, 20, 7)
     assert out["labels"].min() >= 1 and out["labels"].max() <= 3
     assert np.isfinite(np.asarray(out["box3d"])).all()
+
+
+def _window_problem(rs, b=1, h=12, w=10, nh=2, hd=4, l=None, p=5, radius=3,
+                    spread=2.0):
+    """Random sampling problem whose points all fall within `radius` of the
+    anchors (so window == exact sample path)."""
+    c = nh * hd
+    value = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    if l is None:  # encoder: one query per cell, anchored at itself
+        yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        base = np.stack([yy.reshape(-1), xx.reshape(-1)], -1)[None]
+        base = np.broadcast_to(base, (b, h * w, 2)).astype(np.int32)
+    else:
+        base = np.stack(
+            [rs.randint(0, h, (b, l)), rs.randint(0, w, (b, l))], -1
+        ).astype(np.int32)
+    lq = base.shape[1]
+    # sample positions: anchor center ± spread cells (within the radius)
+    off = rs.uniform(-spread, spread, (b, lq, nh, 1, p, 2)).astype(np.float32)
+    centers = np.stack(
+        [(base[..., 1] + 0.5), (base[..., 0] + 0.5)], -1
+    )[:, :, None, None, None, :]
+    pos = centers + off  # (x, y) cell offsets
+    grids = (pos / np.asarray([w, h], np.float32)).astype(np.float32)
+    attn = rs.rand(b, lq, nh, 1, p).astype(np.float32)
+    attn /= attn.sum(axis=(-1,), keepdims=True)
+    return value, jnp.asarray(grids), jnp.asarray(attn), jnp.asarray(base)
+
+
+def test_box_attention_window_dense_matches_sample():
+    rs = np.random.RandomState(0)
+    nh, radius = 2, 3
+    value, grids, attn, base = _window_problem(rs, nh=nh, radius=radius)
+    want = BA.box_attention_sample([value], grids, attn, num_heads=nh)
+    a = BA.bin_window_coeffs(grids, attn, base, value.shape[1], value.shape[2],
+                             radius)
+    got = BA.box_attention_window_dense(value, a, num_heads=nh, radius=radius)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_box_attention_window_gather_matches_sample():
+    rs = np.random.RandomState(1)
+    nh, radius = 2, 4
+    value, grids, attn, base = _window_problem(rs, l=7, nh=nh, radius=radius)
+    want = BA.box_attention_sample([value], grids, attn, num_heads=nh)
+    a = BA.bin_window_coeffs(grids, attn, base, value.shape[1], value.shape[2],
+                             radius)
+    got = BA.box_attention_window_gather(
+        value, a, base, num_heads=nh, radius=radius, chunk=4
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_box_attention_window_edge_zeroing():
+    """Points sampling outside the map contribute zero on both paths."""
+    rs = np.random.RandomState(2)
+    nh, radius = 2, 4
+    value, grids, attn, base = _window_problem(rs, l=5, nh=nh, radius=radius)
+    # shift some anchors to the map corner so taps fall outside
+    base = base.at[:, :2].set(0)
+    h, w = value.shape[1:3]
+    centers = jnp.stack(
+        [(base[..., 1] + 0.5) / w, (base[..., 0] + 0.5) / h], -1
+    )[:, :, None, None, None, :]
+    off = jnp.asarray(
+        rs.uniform(-3.5, 3.5, grids.shape).astype(np.float32)
+    ) / jnp.asarray([w, h], jnp.float32)
+    grids = centers + off
+    want = BA.box_attention_sample([value], grids, attn, num_heads=nh)
+    a = BA.bin_window_coeffs(grids, attn, base, h, w, radius)
+    got = BA.box_attention_window_gather(
+        value, a, base, num_heads=nh, radius=radius, chunk=8
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
