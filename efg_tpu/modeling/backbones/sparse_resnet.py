@@ -36,13 +36,17 @@ class _ResStage(nn.Module):
     out_channels: int
     num_blocks: int
     max_out: int
+    backend: str = "xla"
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, train: bool) -> sp.SparseTensor:
-        identity = SparseConvDown(self.out_channels, max_out=self.max_out, name="down")(st)
+        identity = SparseConvDown(
+            self.out_channels, max_out=self.max_out, backend=self.backend,
+            name="down",
+        )(st)
         out = _BNReLU(relu=False, name="down_bn")(identity, train)
         # first block's residual shortcut is the strided projection itself
-        rb = sp.build_subm_rulebook9(out, 3)
+        rb = sp.build_rulebook(out, 3, self.backend)
         x = SubMConv(self.out_channels, name="b0_conv2")(out, rb)
         x = _BNReLU(relu=False, name="b0_bn2")(x, train)
         x = x.replace_features(
@@ -64,17 +68,24 @@ class SparseResNet(nn.Module):
     grid_size: Tuple[int, int, int] = (1504, 1504, 40)
     stage_caps: Sequence[int] = (60000, 40000, 25000, 15000, 10000)
     # caps: [after stem stride-2, after res2, res3, res4, res5]
+    sparse_backend: str = "auto"  # auto | xla | pallas
 
     @nn.compact
     def __call__(self, features, coords_zyx, valid, train: bool) -> Dict[str, jax.Array]:
         nx, ny, nz = self.grid_size
         st = sp.from_batched_voxels(features, coords_zyx, valid, (nz + 1, ny, nx))
         stem_w = _STEM_WIDTH[self.depth]
+        backend = (
+            sp.default_backend() if self.sparse_backend == "auto"
+            else self.sparse_backend
+        )
 
         # stem: strided conv + 2 SubM convs (reference `SparseBasicStem`)
-        st = SparseConvDown(stem_w, max_out=self.stage_caps[0], name="stem_down")(st)
+        st = SparseConvDown(
+            stem_w, max_out=self.stage_caps[0], backend=backend, name="stem_down"
+        )(st)
         st = _BNReLU(name="stem_bn0")(st, train)
-        rb = sp.build_subm_rulebook9(st, 3)
+        rb = sp.build_rulebook(st, 3, backend)
         st = SubMConv(stem_w, name="stem_conv1")(st, rb)
         st = _BNReLU(name="stem_bn1")(st, train)
         st = SubMConv(self.stem_out_channels, name="stem_conv2")(st, rb)
@@ -88,7 +99,8 @@ class SparseResNet(nn.Module):
         out_channels = self.res1_out_channels
         for i, stage_idx in enumerate(range(2, max_stage + 1)):
             st = _ResStage(
-                out_channels, blocks[i], max_out=self.stage_caps[1 + i], name=f"res{stage_idx}"
+                out_channels, blocks[i], max_out=self.stage_caps[1 + i],
+                backend=backend, name=f"res{stage_idx}",
             )(st, train)
             if f"res{stage_idx}" in self.out_features:
                 outputs[f"res{stage_idx}"] = st
@@ -99,7 +111,7 @@ class SparseResNet(nn.Module):
             c = s.num_channels
             o = SparseConvDown(
                 c, kernel_size=(3, 1, 1), stride=(2, 1, 1), padding=(1, 0, 0),
-                max_out=s.capacity, name=f"{name}_out",
+                max_out=s.capacity, backend=backend, name=f"{name}_out",
             )(s)
             o = _BNReLU(name=f"{name}_out_bn")(o, train)
             dense = sp.to_dense(o)  # [B, C, D, H, W]

@@ -193,41 +193,78 @@ def box_attention_window_gather(
     num_heads: int,
     radius: int,
     chunk: int = 512,
+    runs: bool = True,
 ) -> jax.Array:
     """Window attention for scattered queries (decoder cross-attention):
     gather each query's S² full-width channel rows (1 KB rows — no tile
     padding) around its anchor cell, then a fused weighted reduction.
     Chunked over queries to bound the patch buffer.
+
+    runs=True gathers each window row as ONE contiguous (2R+1)-cell slice
+    from an x-padded map (S descriptors of ~(2R+1)·C·2 bytes instead of S²
+    row descriptors — the row-count-bound gather was measured at ~12 GB/s).
     """
     b, h, w, c = value.shape
     hd = c // num_heads
     offsets, s = _window_offsets(radius)
-    vi = _interleave(value, num_heads).reshape(b, h * w, c)
     l = coeffs.shape[1]
-    off = jnp.asarray(offsets, jnp.int32)  # [S², 2] (dy, dx)
     pad_l = (-l) % chunk
     coeffs_p = jnp.pad(coeffs, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
     base_p = jnp.pad(base_yx, ((0, 0), (0, pad_l), (0, 0)))
     n_chunks = (l + pad_l) // chunk
+    vi = _interleave(value, num_heads)
+    if runs:
+        # pad x so each window row is one in-bounds contiguous slice
+        vflat = jnp.pad(
+            vi.astype(jnp.bfloat16), ((0, 0), (0, 0), (radius, radius), (0, 0))
+        )
+        dyy = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+        gdn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1),
+        )
 
-    def body(args):
-        a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
-        yy = jnp.clip(base_c[..., 0][:, :, None] + off[None, None, :, 0], 0, h - 1)
-        xx = jnp.clip(base_c[..., 1][:, :, None] + off[None, None, :, 1], 0, w - 1)
-        rows = (yy * w + xx).reshape(b, chunk * s * s)
-        patch = jnp.take_along_axis(vi, rows[..., None], axis=1)
-        patch = patch.reshape(b, chunk, s * s, c)
-        a_exp = jnp.broadcast_to(
-            a_c.swapaxes(2, 3)[:, :, :, None, :].astype(value.dtype),
-            (b, chunk, s * s, hd, num_heads),
-        ).reshape(b, chunk, s * s, c)
-        return (a_exp * patch).sum(axis=2)  # [B, chunk, C]
+        def body(args):
+            a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
+            # out-of-map y rows clamp to an edge row; their bins carry zero
+            # weight (bin_window_coeffs masks on the true position)
+            yy = jnp.clip(base_c[..., 0][:, :, None] + dyy, 0, h - 1)
+            xs = jnp.broadcast_to(base_c[..., 1][:, :, None], yy.shape)
+            starts = jnp.stack([yy, xs], -1).reshape(b, chunk * s, 2)
+            patch = jax.vmap(
+                lambda v, st: jax.lax.gather(
+                    v, st, gdn, slice_sizes=(1, s, c), mode="clip"
+                )
+            )(vflat, starts)  # [B, chunk·S, S, C]
+            patch = patch.reshape(b, chunk, s * s, c)
+            a_exp = jnp.broadcast_to(
+                a_c.swapaxes(2, 3)[:, :, :, None, :].astype(patch.dtype),
+                (b, chunk, s * s, hd, num_heads),
+            ).reshape(b, chunk, s * s, c)
+            return (a_exp * patch).sum(axis=2, dtype=jnp.float32)
+
+    else:
+        vflat2 = vi.reshape(b, h * w, c)
+        off = jnp.asarray(offsets, jnp.int32)  # [S², 2] (dy, dx)
+
+        def body(args):
+            a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
+            yy = jnp.clip(base_c[..., 0][:, :, None] + off[None, None, :, 0], 0, h - 1)
+            xx = jnp.clip(base_c[..., 1][:, :, None] + off[None, None, :, 1], 0, w - 1)
+            rows = (yy * w + xx).reshape(b, chunk * s * s)
+            patch = jnp.take_along_axis(vflat2, rows[..., None], axis=1)
+            patch = patch.reshape(b, chunk, s * s, c)
+            a_exp = jnp.broadcast_to(
+                a_c.swapaxes(2, 3)[:, :, :, None, :].astype(value.dtype),
+                (b, chunk, s * s, hd, num_heads),
+            ).reshape(b, chunk, s * s, c)
+            return (a_exp * patch).sum(axis=2)  # [B, chunk, C]
 
     a_ch = coeffs_p.reshape(b, n_chunks, chunk, coeffs.shape[2], s * s).swapaxes(0, 1)
     b_ch = base_p.reshape(b, n_chunks, chunk, 2).swapaxes(0, 1)
     out = jax.lax.map(body, (a_ch, b_ch))  # [n_chunks, B, chunk, C]
     out = out.swapaxes(0, 1).reshape(b, n_chunks * chunk, c)[:, :l]
-    return _deinterleave(out, num_heads)
+    return _deinterleave(out.astype(value.dtype), num_heads)
 
 
 def make_box_grids(

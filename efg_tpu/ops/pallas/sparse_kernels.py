@@ -383,6 +383,15 @@ def prep_rulebook(
     wslack: int = WSLACK,
 ) -> PreppedRule:
     cin = _rup(max(cin, 1), 16)
+    # VMEM budget: the window/accumulator scratch scales with c3p = 3·cin
+    # and tile (gacc 3·(tile/128)·c3p·128·f32 + wbuf 2·(tile+wslack)·c3p·bf16
+    # + stacked 9·cin·tile·bf16 + out tile·cout·f32). At cin=256 the
+    # default TILE=1024 needs ~24MB > the 16MB scoped limit (hit by
+    # ConQueR's res4); halve the tile for wide channels.
+    if cin > 192:
+        tile = min(tile, 256)
+    elif cin > 128:
+        tile = min(tile, 512)
     raw = packed
     v_out = packed.shape[1]
     n_groups = packed.shape[0] // 3
