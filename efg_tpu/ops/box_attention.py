@@ -236,12 +236,16 @@ def box_attention_window_gather(
                     v, st, gdn, slice_sizes=(1, s, c), mode="clip"
                 )
             )(vflat, starts)  # [B, chunk·S, S, C]
-            patch = patch.reshape(b, chunk, s * s, c)
-            a_exp = jnp.broadcast_to(
-                a_c.swapaxes(2, 3)[:, :, :, None, :].astype(patch.dtype),
-                (b, chunk, s * s, hd, num_heads),
-            ).reshape(b, chunk, s * s, c)
-            return (a_exp * patch).sum(axis=2, dtype=jnp.float32)
+            patch = patch.reshape(b, chunk, s * s, hd, num_heads)
+            # contract S² as one dot_general batched over (B, chunk, NH):
+            # never materializes the f32 [B, chunk, S², C] coefficient
+            # broadcast (traced at ~20 ms/layer as relayout copies)
+            out = jax.lax.dot_general(
+                a_c.astype(patch.dtype), patch,
+                (((3,), (2,)), ((0, 1, 2), (0, 1, 4))),
+                preferred_element_type=jnp.float32,
+            )  # [B, chunk, NH, hd]
+            return out.swapaxes(2, 3).reshape(b, chunk, c)
 
     else:
         vflat2 = vi.reshape(b, h * w, c)
