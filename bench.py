@@ -140,9 +140,13 @@ def main():
 
     import __graft_entry__ as ge
 
-    bsz = 2
+    # bs=4 amortizes per-step fixed costs (dispatch, while-loop setup,
+    # structure builds) over more frames — the reference trains bs=6/GPU
+    # (`centerpoint.waymo...` dataloader), so per-chip f/s at bs=4 is the
+    # fairer comparison. Falls back to bs=2 if the larger batch fails.
+    bs_env = os.environ.get("BENCH_BS")
+    bs_candidates = [int(bs_env)] if bs_env else [4, 2]
     model, model_cfg, n_points = ge._flagship(bench_scale=True)
-    batch = ge._batch(n_points, bsz=bsz, pc=70.0)
 
     import jax.numpy as jnp
     import optax
@@ -150,14 +154,17 @@ def main():
     from efg_tpu.engine.train_state import TrainState
     from efg_tpu.models import centerpoint as CP
 
+    batch = ge._batch(n_points, bsz=bs_candidates[0], pc=70.0)
     variables = model.init(jax.random.key(0), batch["points"][:1], batch["points_mask"][:1], True)
     tx = optax.flatten(optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(3e-3)))
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=tx.init(variables["params"]),
-    )
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(variables["params"]),
+        )
 
     def step_fn(state, batch):
         def loss_fn(params):
@@ -194,26 +201,36 @@ def main():
 
     # compile once; reuse the executable for warmup + timed run (the state
     # is donated, so lower/cost-analysis must happen before execution)
-    compiled = run_n.lower(state, batch).compile()
-    try:
-        cost = compiled.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        model_flops = float(cost.get("flops", 0.0)) / n_iters
-    except Exception:
-        model_flops = 0.0
+    fps = sec_per_step = model_flops = 0.0
+    bsz = bs_candidates[0]
+    for bsz in bs_candidates:
+        try:
+            batch = ge._batch(n_points, bsz=bsz, pc=70.0)
+            state = fresh_state()
+            compiled = run_n.lower(state, batch).compile()
+            try:
+                cost = compiled.cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                model_flops = float(cost.get("flops", 0.0)) / n_iters
+            except Exception:
+                model_flops = 0.0
 
-    state, loss = compiled(state, batch)
-    _ = float(loss)
+            state, loss = compiled(state, batch)
+            _ = float(loss)
 
-    t0 = time.perf_counter()
-    state, loss = compiled(state, batch)
-    _ = float(loss)  # device->host fetch = real sync
-    dt = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            state, loss = compiled(state, batch)
+            _ = float(loss)  # device->host fetch = real sync
+            dt = time.perf_counter() - t0
+            fps = bsz * n_iters / dt
+            sec_per_step = dt / n_iters
+            break
+        except Exception:
+            if bsz == bs_candidates[-1]:
+                raise
 
-    fps = bsz * n_iters / dt
-    sec_per_step = dt / n_iters
-    extras = {"sec_per_step_bs2": round(sec_per_step, 4)}
+    extras = {f"sec_per_step_bs{bsz}": round(sec_per_step, 4), "batch_size": bsz}
     try:
         flops = model_flops
         extras.update(

@@ -163,7 +163,7 @@ class Box3dAttention(nn.Module):
                 grids, attn, base, h, w, self.window_radius
             )
             if self.backend == "dense":
-                out = BA.box_attention_window_dense(
+                out = BA.box_attention_window_dense_mxu(
                     v, coeffs, num_heads=self.num_head,
                     radius=self.window_radius,
                 )

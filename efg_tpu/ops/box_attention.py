@@ -185,6 +185,93 @@ def box_attention_window_dense(
     return _deinterleave(out, num_heads).reshape(b, h * w, c)
 
 
+def _overlap_tiles(x: jax.Array, axis: int, n_tiles: int, stride: int, extent: int):
+    """Split `axis` (length ≥ (n_tiles-1)·stride + extent, caller-padded to
+    (n_tiles + n_slices - 1)·stride) into `n_tiles` OVERLAPPING windows of
+    `extent` rows at `stride` spacing, via shifted reshapes only (no gather
+    — autodiff gives cheap pad-adds, not scatters). Returns the tile axis
+    inserted at `axis` with the window axis right after."""
+    n_slices = -(-extent // stride)
+    parts = []
+    for k in range(n_slices):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k * stride, (k + n_tiles) * stride)
+        seg = x[tuple(sl)]
+        new_shape = seg.shape[:axis] + (n_tiles, stride) + seg.shape[axis + 1:]
+        parts.append(seg.reshape(new_shape))
+    out = jnp.concatenate(parts, axis=axis + 1)
+    sl = [slice(None)] * out.ndim
+    sl[axis + 1] = slice(0, extent)
+    return out[tuple(sl)]
+
+
+def box_attention_window_dense_mxu(
+    value: jax.Array,   # [B, H, W, C]
+    coeffs: jax.Array,  # [B, H·W, NH, S²] from bin_window_coeffs
+    *,
+    num_heads: int,
+    radius: int,
+    ty: int = 8,
+    tx: int = 16,
+) -> jax.Array:
+    """Window self-attention as tile-local DENSE attention on the MXU.
+
+    Queries are tiled (ty×tx); each tile attends a (ty+2R)×(tx+2R) key
+    patch. The per-query S² binned coefficients scatter into a tile-local
+    [Q, K] attention matrix via ONE batched one-hot matmul (k(q,o) =
+    base(q)+off(o) is always in range), then out = A_t @ K_patch is a
+    second batched matmul. Replaces the S² shifted elementwise passes
+    (VPU/HBM bound) with two MXU contractions; key patches are built with
+    shifted reshapes so autodiff emits pad-adds, not scatters."""
+    b, h, w, c = value.shape
+    hd = c // num_heads
+    s = 2 * radius + 1
+    l = coeffs.shape[1]
+    assert l == h * w
+    ey, ex = ty + 2 * radius, tx + 2 * radius
+    nty, ntx = -(-h // ty), -(-w // tx)
+    nsy, nsx = -(-ey // ty), -(-ex // tx)
+    # pad the value map: R halo in front, tail up to the shifted-reshape
+    # requirement ((n_tiles + n_slices - 1)·stride)
+    py = (nty + nsy - 1) * ty - (h + radius)
+    px = (ntx + nsx - 1) * tx - (w + radius)
+    vp = jnp.pad(
+        value.astype(jnp.bfloat16),
+        ((0, 0), (radius, py), (radius, px), (0, 0)),
+    )
+    k_rows = _overlap_tiles(vp, 1, nty, ty, ey)       # [B, nty, ey, Wp, C]
+    k_pat = _overlap_tiles(k_rows, 3, ntx, tx, ex)    # [B, nty, ey, ntx, ex, C]
+    k_pat = k_pat.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, nty * ntx, ey * ex, num_heads, hd
+    )
+
+    # coefficients → [B, T, Q, NH, S²] tile layout (zero-pad H/W remainders)
+    a = coeffs.reshape(b, h, w, num_heads, s * s).astype(jnp.bfloat16)
+    a = jnp.pad(a, ((0, 0), (0, nty * ty - h), (0, ntx * tx - w), (0, 0), (0, 0)))
+    a = a.reshape(b, nty, ty, ntx, tx, num_heads, s * s)
+    a = a.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+        b, nty * ntx, ty * tx, num_heads, s * s
+    )
+
+    # one-hot scatter matrix P[q, o, k]: k = (u+R+dy)·ex + (v+R+dx)
+    u = jnp.arange(ty)[:, None] + radius  # [ty, 1]
+    v = jnp.arange(tx)[None, :] + radius  # [1, tx]
+    dy = jnp.arange(-radius, radius + 1)[:, None]
+    dx = jnp.arange(-radius, radius + 1)[None, :]
+    base = (u * ex + v).reshape(ty * tx)              # [Q]
+    off = (dy * ex + dx).reshape(s * s)               # [S²]
+    kq = base[:, None] + off[None, :]                 # [Q, S²]
+    p_mat = (kq[:, :, None] == jnp.arange(ey * ex)).astype(jnp.bfloat16)
+
+    a_t = jnp.einsum("btqno,qok->btnqk", a, p_mat,
+                     preferred_element_type=jnp.bfloat16)
+    out = jnp.einsum("btnqk,btknd->btqnd", a_t, k_pat,
+                     preferred_element_type=jnp.float32)
+    out = out.reshape(b, nty, ntx, ty, tx, c).transpose(0, 1, 3, 2, 4, 5)
+    out = out.reshape(b, nty * ty, ntx * tx, c)[:, :h, :w]
+    return out.reshape(b, h * w, c).astype(value.dtype)
+
+
 def box_attention_window_gather(
     value: jax.Array,    # [B, H, W, C]
     coeffs: jax.Array,   # [B, L, NH, S²]

@@ -196,6 +196,28 @@ def test_box_attention_window_dense_matches_sample():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_box_attention_window_dense_mxu_matches_sample():
+    """Tile-local MXU formulation == exact sample path (bf16 tolerance),
+    including gradients through the shifted-reshape key patches."""
+    rs = np.random.RandomState(0)
+    nh, radius = 2, 3
+    value, grids, attn, base = _window_problem(rs, nh=nh, radius=radius)
+    want = BA.box_attention_sample([value], grids, attn, num_heads=nh)
+    a = BA.bin_window_coeffs(grids, attn, base, value.shape[1], value.shape[2],
+                             radius)
+    got = BA.box_attention_window_dense_mxu(value, a, num_heads=nh, radius=radius)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    import jax
+
+    g_mxu = jax.grad(lambda v: jnp.sum(BA.box_attention_window_dense_mxu(
+        v, a, num_heads=nh, radius=radius) ** 2))(value)
+    g_ref = jax.grad(lambda v: jnp.sum(BA.box_attention_window_dense(
+        v, a, num_heads=nh, radius=radius) ** 2))(value)
+    np.testing.assert_allclose(np.asarray(g_mxu), np.asarray(g_ref),
+                               rtol=5e-2, atol=5e-2)
+
+
 @pytest.mark.parametrize("runs", [False, True])
 def test_box_attention_window_gather_matches_sample(runs):
     rs = np.random.RandomState(1)
