@@ -55,6 +55,26 @@ def centerpoint_tp_rules() -> Rules:
     ]
 
 
+def detr_tp_rules() -> Rules:
+    """Megatron rules for the DETR family (VoxelDETR/ConQueR/Mask2Former
+    transformer stacks): FFN column→row, attention projections sharded by
+    head (flax attention kernels are [d, NH, hd] / [NH, hd, d]; the box-
+    attention value/out projections shard d_model, which the window paths'
+    head-major reshape turns into head parallelism). Per-head coefficient
+    projections (`linear_attn`/`linear_box`) and norms stay replicated."""
+    return [
+        (r"(enc|dec)\d+/linear1/kernel$", P(None, "model")),
+        (r"(enc|dec)\d+/linear1/bias$", _VEC),
+        (r"(enc|dec)\d+/linear2/kernel$", P("model", None)),
+        (r"self_attn/(query|key|value)/kernel$", P(None, "model", None)),
+        (r"self_attn/(query|key|value)/bias$", P("model", None)),
+        (r"self_attn/out/kernel$", P("model", None, None)),
+        (r"(self_attn|cross_attn)/value_proj/kernel$", P(None, "model")),
+        (r"(self_attn|cross_attn)/value_proj/bias$", _VEC),
+        (r"(self_attn|cross_attn)/out_proj/kernel$", P("model", None)),
+    ]
+
+
 def _spec_fits(spec: P, shape: Sequence[int], mesh: Mesh) -> bool:
     if len(spec) > len(shape):
         return False

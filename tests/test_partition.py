@@ -68,6 +68,69 @@ def test_divisibility_fallback():
     assert sh["head"]["task0"]["hm_conv0"]["kernel"].spec == P()
 
 
+def test_detr_tp_loss_matches_replicated():
+    """VoxelDETR loss+grads under head/FFN tensor parallelism == the
+    replicated computation (TP is pure layout under GSPMD)."""
+    import jax.numpy as jnp
+    from efg_tpu.models import voxel_detr as VD
+    from efg_tpu.parallel.mesh import shard_batch
+    from efg_tpu.parallel.partition import detr_tp_rules
+
+    mesh = _mesh()
+    model = VD.VoxelDETR(
+        pc_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 4.0),
+        voxel_size=(0.1, 0.1, 0.15), max_voxels=1024,
+        resnet_caps=(768, 512, 256, 128),
+        hidden_dim=32, num_head=4, enc_layers=1, dec_layers=1,
+        dim_feedforward=64, num_queries=8, num_classes=3,
+    )
+    cfg = dict(
+        pc_range=(-8.0, -8.0, -2.0, 8.0, 8.0, 4.0),
+        voxel_size=(0.1, 0.1, 0.15),
+        loss_weights={"class": 1.0, "bbox": 4.0, "giou": 2.0, "rad": 4.0},
+    )
+    rs = np.random.RandomState(0)
+    pts = np.concatenate(
+        [rs.uniform(-7, 7, (4, 512, 3)), rs.uniform(0, 1, (4, 512, 2))], -1
+    ).astype(np.float32)
+    gt = np.zeros((4, 8, 9), np.float32)
+    gt[:, :2, :3] = rs.uniform(-6, 6, (4, 2, 3))
+    gt[:, :2, 3:6] = rs.uniform(1, 4, (4, 2, 3))
+    batch = dict(
+        points=jnp.asarray(pts), points_mask=jnp.ones((4, 512), bool),
+        gt_boxes=jnp.asarray(gt),
+        gt_classes=jnp.zeros((4, 8), jnp.int32).at[:, :2].set(1),
+        gt_mask=jnp.zeros((4, 8), bool).at[:, :2].set(True),
+    )
+    variables = model.init(jax.random.key(0), batch["points"], batch["points_mask"], True)
+    init = jax.device_get(variables)
+
+    def loss_fn(params, bstats, batch):
+        preds, _ = model.apply(
+            {"params": params, "batch_stats": bstats},
+            batch["points"], batch["points_mask"], True, mutable=["batch_stats"],
+        )
+        return VD.compute_loss(preds, batch, model_cfg=cfg)["loss"]
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    loss_ref, g_ref = vg(init["params"], init["batch_stats"], batch)
+
+    sh = make_param_shardings(mesh, init["params"], detr_tp_rules())
+    params_tp = jax.tree.map(jax.device_put, init["params"], sh)
+    batch_tp = shard_batch(batch, mesh)
+    loss_tp, g_tp = vg(params_tp, init["batch_stats"], batch_tp)
+
+    assert abs(float(loss_tp) - float(loss_ref)) < 1e-3 * max(1.0, abs(float(loss_ref)))
+    leaf_ref = np.asarray(
+        g_ref["decoder"]["dec0"]["linear1"]["kernel"], np.float32
+    )
+    leaf_tp = np.asarray(g_tp["decoder"]["dec0"]["linear1"]["kernel"], np.float32)
+    np.testing.assert_allclose(leaf_tp, leaf_ref, rtol=1e-3, atol=1e-4)
+    # the rules actually sharded the transformer
+    assert sh["decoder"]["dec0"]["linear1"]["kernel"].spec == P(None, "model")
+    assert sh["decoder"]["dec0"]["self_attn"]["query"]["kernel"].spec == P(None, "model", None)
+
+
 def test_shard_params_places_arrays():
     mesh = _mesh()
     params = {"neck": {"block0_in": {"Conv_0": {"kernel": np.ones((3, 3, 8, 4), np.float32)}}}}
