@@ -13,6 +13,7 @@ All feature maps are NHWC; grid coords are normalized [0, 1] per level.
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence, Tuple
 
 import jax
@@ -272,6 +273,171 @@ def box_attention_window_dense_mxu(
     return out.reshape(b, h * w, c).astype(value.dtype)
 
 
+def _chunked(coeffs: jax.Array, base_yx: jax.Array, chunk: int, s: int):
+    b, l = coeffs.shape[:2]
+    pad_l = (-l) % chunk
+    coeffs_p = jnp.pad(coeffs, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
+    base_p = jnp.pad(base_yx, ((0, 0), (0, pad_l), (0, 0)))
+    n_chunks = (l + pad_l) // chunk
+    a_ch = coeffs_p.reshape(b, n_chunks, chunk, coeffs.shape[2], s * s).swapaxes(0, 1)
+    b_ch = base_p.reshape(b, n_chunks, chunk, 2).swapaxes(0, 1)
+    return a_ch, b_ch, n_chunks
+
+
+def _gather_patches_runs(vflat: jax.Array, base_c: jax.Array, h: int, s: int,
+                         num_heads: int):
+    """Window patches for one query chunk from the x-padded interleaved map:
+    each window row is ONE contiguous (2R+1)-cell slice. Out-of-map y rows
+    clamp to an edge row; their bins carry zero weight (bin_window_coeffs
+    masks on the true position). → [B, chunk, S², hd, NH]."""
+    b = vflat.shape[0]
+    c = vflat.shape[-1]
+    radius = (s - 1) // 2
+    ch = base_c.shape[1]
+    dyy = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    gdn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1),
+    )
+    yy = jnp.clip(base_c[..., 0][:, :, None] + dyy, 0, h - 1)
+    xs = jnp.broadcast_to(base_c[..., 1][:, :, None], yy.shape)
+    starts = jnp.stack([yy, xs], -1).reshape(b, ch * s, 2)
+    patch = jax.vmap(
+        lambda v, st: jax.lax.gather(v, st, gdn, slice_sizes=(1, s, c), mode="clip")
+    )(vflat, starts)  # [B, chunk·S, S, C]
+    return patch.reshape(b, ch, s * s, c // num_heads, num_heads)
+
+
+def _window_gather_runs_impl(value, coeffs, base_yx, num_heads, radius, chunk):
+    b, h, w, c = value.shape
+    s = 2 * radius + 1
+    l = coeffs.shape[1]
+    vi = _interleave(value, num_heads)
+    # pad x so each window row is one in-bounds contiguous slice
+    vflat = jnp.pad(
+        vi.astype(jnp.bfloat16), ((0, 0), (0, 0), (radius, radius), (0, 0))
+    )
+
+    def body(args):
+        a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
+        patch = _gather_patches_runs(vflat, base_c, h, s, num_heads)
+        # contract S² as one dot_general batched over (B, chunk, NH):
+        # never materializes the f32 [B, chunk, S², C] coefficient
+        # broadcast (traced at ~20 ms/layer as relayout copies)
+        out = jax.lax.dot_general(
+            a_c.astype(patch.dtype), patch,
+            (((3,), (2,)), ((0, 1, 2), (0, 1, 4))),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk, NH, hd]
+        return out.swapaxes(2, 3).reshape(b, a_c.shape[1], c)
+
+    a_ch, b_ch, n_chunks = _chunked(coeffs, base_yx, chunk, s)
+    out = jax.lax.map(body, (a_ch, b_ch))  # [n_chunks, B, chunk, C]
+    out = out.swapaxes(0, 1).reshape(b, n_chunks * chunk, c)[:, :l]
+    return _deinterleave(out.astype(value.dtype), num_heads)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _window_gather_runs(value, coeffs, base_yx, num_heads, radius, chunk):
+    return _window_gather_runs_impl(value, coeffs, base_yx, num_heads, radius, chunk)
+
+
+def _window_gather_runs_fwd(value, coeffs, base_yx, num_heads, radius, chunk):
+    out = _window_gather_runs_impl(value, coeffs, base_yx, num_heads, radius, chunk)
+    # residuals are the ORIGINAL inputs: patches are re-gathered in bwd
+    # (cheaper than saving the [L, S², C] patch tensor across chunks)
+    return out, (value, coeffs, base_yx)
+
+
+def _window_gather_runs_bwd(num_heads, radius, chunk, res, g):
+    """Scatter-free backward. dA re-gathers the window patches and
+    contracts the head dim; dV accumulates each query's rank-1 window
+    contribution into a y/x-padded map with in-place dynamic-update-slices
+    inside one lax.scan (XLA aliases the carry) — the autodiff transpose
+    of the gather would be an XLA scatter-add over B·L window slices,
+    which lowers catastrophically on TPU.
+
+    Contract: coefficients at out-of-map window cells must be zero (what
+    `bin_window_coeffs` guarantees via its `ok` mask). Cotangents for
+    those dead bins differ from the clamp-row autodiff values, but they
+    are annihilated by the mask in the binning backward."""
+    value, coeffs, base_yx = res
+    b, h, w, c = value.shape
+    hd = c // num_heads
+    s = 2 * radius + 1
+    l = coeffs.shape[1]
+    vi = _interleave(value, num_heads)
+    vflat = jnp.pad(
+        vi.astype(jnp.bfloat16), ((0, 0), (0, 0), (radius, radius), (0, 0))
+    )
+    gi = _interleave(g, num_heads)  # transpose of the output deinterleave
+
+    def da_body(args):
+        g_c, base_c = args  # [B, chunk, C], [B, chunk, 2]
+        patch = _gather_patches_runs(vflat, base_c, h, s, num_heads)
+        g_r = g_c.reshape(b, g_c.shape[1], hd, num_heads).astype(patch.dtype)
+        # dA[b,q,n,o] = Σ_d g[b,q,d,n] · patch[b,q,o,d,n]
+        return jax.lax.dot_general(
+            g_r, patch,
+            (((2,), (3,)), ((0, 1, 3), (0, 1, 4))),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk, NH, S²]
+
+    pad_l = (-l) % chunk
+    g_p = jnp.pad(gi, ((0, 0), (0, pad_l), (0, 0)))
+    base_p = jnp.pad(base_yx, ((0, 0), (0, pad_l), (0, 0)))
+    n_chunks = (l + pad_l) // chunk
+    g_ch = g_p.reshape(b, n_chunks, chunk, c).swapaxes(0, 1)
+    b_ch = base_p.reshape(b, n_chunks, chunk, 2).swapaxes(0, 1)
+    da = jax.lax.map(da_body, (g_ch, b_ch))  # [n_chunks, B, chunk, NH, S²]
+    da = da.swapaxes(0, 1).reshape(b, n_chunks * chunk, num_heads, s * s)[:, :l]
+    da = da.astype(coeffs.dtype)
+
+    # dV: serial accumulation of [S, S, C] rank-1 windows. K queries per
+    # scan step amortizes per-iteration overhead; queries padded with zero
+    # coefficients contribute zero.
+    K = 8
+    lt = b * (l + (-l) % K)
+    a_flat = jnp.pad(coeffs, ((0, 0), (0, (-l) % K), (0, 0), (0, 0))).reshape(
+        b * (l + (-l) % K), num_heads, s * s
+    )
+    g_flat = jnp.pad(gi, ((0, 0), (0, (-l) % K), (0, 0))).reshape(lt, c)
+    base_flat = jnp.pad(base_yx, ((0, 0), (0, (-l) % K), (0, 0))).reshape(lt, 2)
+    bidx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), l + (-l) % K)
+    dv0 = jnp.zeros((b, h + 2 * radius, w + 2 * radius, c), jnp.float32)
+
+    def dv_body(dv, args):
+        a_k, g_k, by_k, bi_k = args  # [K, NH, S²], [K, C], [K, 2], [K]
+        for j in range(K):
+            # T[o, d, n] = a[n, o] · g[d·NH + n]
+            t = jnp.einsum(
+                "no,dn->odn", a_k[j].astype(jnp.float32),
+                g_k[j].reshape(hd, num_heads).astype(jnp.float32),
+            ).reshape(1, s, s, c)
+            y0, x0 = by_k[j, 0], by_k[j, 1]
+            cur = jax.lax.dynamic_slice(dv, (bi_k[j], y0, x0, 0), (1, s, s, c))
+            dv = jax.lax.dynamic_update_slice(dv, cur + t, (bi_k[j], y0, x0, 0))
+        return dv, None
+
+    dv, _ = jax.lax.scan(
+        dv_body, dv0,
+        (a_flat.reshape(lt // K, K, num_heads, s * s),
+         g_flat.reshape(lt // K, K, c),
+         base_flat.reshape(lt // K, K, 2),
+         bidx.reshape(lt // K, K)),
+    )
+    # window start (by-R, bx-R) is (by, bx) in the padded map; pad rows
+    # discard out-of-map contributions (their coefficients are zero anyway)
+    dv = dv[:, radius:radius + h, radius:radius + w]
+    dvalue = _deinterleave(dv, num_heads).astype(value.dtype)
+    import numpy as _np
+
+    dbase = _np.zeros(base_yx.shape, jax.dtypes.float0)
+    return dvalue, da, dbase
+
+
+_window_gather_runs.defvjp(_window_gather_runs_fwd, _window_gather_runs_bwd)
+
+
 def box_attention_window_gather(
     value: jax.Array,    # [B, H, W, C]
     coeffs: jax.Array,   # [B, L, NH, S²]
@@ -283,76 +449,40 @@ def box_attention_window_gather(
     runs: bool = True,
 ) -> jax.Array:
     """Window attention for scattered queries (decoder cross-attention):
-    gather each query's S² full-width channel rows (1 KB rows — no tile
-    padding) around its anchor cell, then a fused weighted reduction.
-    Chunked over queries to bound the patch buffer.
+    gather each query's window around its anchor cell, then a fused
+    weighted reduction. Chunked over queries to bound the patch buffer.
 
-    runs=True gathers each window row as ONE contiguous (2R+1)-cell slice
-    from an x-padded map (S descriptors of ~(2R+1)·C·2 bytes instead of S²
-    row descriptors — the row-count-bound gather was measured at ~12 GB/s).
-    """
+    runs=True (the fast path) gathers each window row as ONE contiguous
+    (2R+1)-cell slice from an x-padded bf16 map (S slice descriptors of
+    ~(2R+1)·C·2 bytes instead of S² 1KB row descriptors) and carries a
+    custom VJP whose dV pass is a serial in-place window accumulation
+    instead of the gather-transpose XLA scatter. runs=False is the plain
+    per-row autodiff oracle."""
+    if runs:
+        return _window_gather_runs(value, coeffs, base_yx, num_heads, radius, chunk)
+
     b, h, w, c = value.shape
     hd = c // num_heads
     offsets, s = _window_offsets(radius)
     l = coeffs.shape[1]
-    pad_l = (-l) % chunk
-    coeffs_p = jnp.pad(coeffs, ((0, 0), (0, pad_l), (0, 0), (0, 0)))
-    base_p = jnp.pad(base_yx, ((0, 0), (0, pad_l), (0, 0)))
-    n_chunks = (l + pad_l) // chunk
     vi = _interleave(value, num_heads)
-    if runs:
-        # pad x so each window row is one in-bounds contiguous slice
-        vflat = jnp.pad(
-            vi.astype(jnp.bfloat16), ((0, 0), (0, 0), (radius, radius), (0, 0))
-        )
-        dyy = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
-        gdn = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(0,),
-            start_index_map=(0, 1),
-        )
+    vflat2 = vi.reshape(b, h * w, c)
+    off = jnp.asarray(offsets, jnp.int32)  # [S², 2] (dy, dx)
 
-        def body(args):
-            a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
-            # out-of-map y rows clamp to an edge row; their bins carry zero
-            # weight (bin_window_coeffs masks on the true position)
-            yy = jnp.clip(base_c[..., 0][:, :, None] + dyy, 0, h - 1)
-            xs = jnp.broadcast_to(base_c[..., 1][:, :, None], yy.shape)
-            starts = jnp.stack([yy, xs], -1).reshape(b, chunk * s, 2)
-            patch = jax.vmap(
-                lambda v, st: jax.lax.gather(
-                    v, st, gdn, slice_sizes=(1, s, c), mode="clip"
-                )
-            )(vflat, starts)  # [B, chunk·S, S, C]
-            patch = patch.reshape(b, chunk, s * s, hd, num_heads)
-            # contract S² as one dot_general batched over (B, chunk, NH):
-            # never materializes the f32 [B, chunk, S², C] coefficient
-            # broadcast (traced at ~20 ms/layer as relayout copies)
-            out = jax.lax.dot_general(
-                a_c.astype(patch.dtype), patch,
-                (((3,), (2,)), ((0, 1, 2), (0, 1, 4))),
-                preferred_element_type=jnp.float32,
-            )  # [B, chunk, NH, hd]
-            return out.swapaxes(2, 3).reshape(b, chunk, c)
+    def body(args):
+        a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
+        yy = jnp.clip(base_c[..., 0][:, :, None] + off[None, None, :, 0], 0, h - 1)
+        xx = jnp.clip(base_c[..., 1][:, :, None] + off[None, None, :, 1], 0, w - 1)
+        rows = (yy * w + xx).reshape(b, chunk * s * s)
+        patch = jnp.take_along_axis(vflat2, rows[..., None], axis=1)
+        patch = patch.reshape(b, chunk, s * s, c)
+        a_exp = jnp.broadcast_to(
+            a_c.swapaxes(2, 3)[:, :, :, None, :].astype(value.dtype),
+            (b, chunk, s * s, hd, num_heads),
+        ).reshape(b, chunk, s * s, c)
+        return (a_exp * patch).sum(axis=2)  # [B, chunk, C]
 
-    else:
-        vflat2 = vi.reshape(b, h * w, c)
-        off = jnp.asarray(offsets, jnp.int32)  # [S², 2] (dy, dx)
-
-        def body(args):
-            a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
-            yy = jnp.clip(base_c[..., 0][:, :, None] + off[None, None, :, 0], 0, h - 1)
-            xx = jnp.clip(base_c[..., 1][:, :, None] + off[None, None, :, 1], 0, w - 1)
-            rows = (yy * w + xx).reshape(b, chunk * s * s)
-            patch = jnp.take_along_axis(vflat2, rows[..., None], axis=1)
-            patch = patch.reshape(b, chunk, s * s, c)
-            a_exp = jnp.broadcast_to(
-                a_c.swapaxes(2, 3)[:, :, :, None, :].astype(value.dtype),
-                (b, chunk, s * s, hd, num_heads),
-            ).reshape(b, chunk, s * s, c)
-            return (a_exp * patch).sum(axis=2)  # [B, chunk, C]
-
-    a_ch = coeffs_p.reshape(b, n_chunks, chunk, coeffs.shape[2], s * s).swapaxes(0, 1)
-    b_ch = base_p.reshape(b, n_chunks, chunk, 2).swapaxes(0, 1)
+    a_ch, b_ch, n_chunks = _chunked(coeffs, base_yx, chunk, s)
     out = jax.lax.map(body, (a_ch, b_ch))  # [n_chunks, B, chunk, C]
     out = out.swapaxes(0, 1).reshape(b, n_chunks * chunk, c)[:, :l]
     return _deinterleave(out.astype(value.dtype), num_heads)

@@ -234,6 +234,41 @@ def test_box_attention_window_gather_matches_sample(runs):
                                rtol=tol, atol=tol)
 
 
+def test_box_attention_window_gather_custom_vjp():
+    """runs=True custom VJP (re-gather dA + serial window-accumulate dV,
+    no XLA scatter) == autodiff of the per-row oracle, end-to-end through
+    bin_window_coeffs (whose ok-mask kills the dead out-of-map bins)."""
+    import jax
+
+    rs = np.random.RandomState(3)
+    b, h, w, c, nh, radius, l = 2, 14, 11, 8, 2, 3, 20
+    value = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    base = jnp.asarray(
+        np.stack([rs.randint(0, h, (b, l)), rs.randint(0, w, (b, l))], -1), jnp.int32
+    )
+    cen = np.stack([np.asarray(base)[..., 1], np.asarray(base)[..., 0]], -1) + 0.5
+    pts = cen[:, :, None, None, :] + rs.uniform(-2.5, 2.5, (b, l, nh, 4, 2))
+    grids = jnp.asarray((pts[:, :, :, None] / np.array([w, h])).astype(np.float32))
+    logits = jnp.asarray(rs.randn(b, l, nh, 1, 4).astype(np.float32))
+
+    def f(runs):
+        def inner(v, lg):
+            attn = jax.nn.softmax(lg, -1)
+            a = BA.bin_window_coeffs(grids, attn, base, h, w, radius)
+            o = BA.box_attention_window_gather(
+                v, a, base, num_heads=nh, radius=radius, chunk=8, runs=runs
+            )
+            return jnp.sum(o ** 2)
+        return inner
+
+    gv1, gl1 = jax.grad(f(True), argnums=(0, 1))(value, logits)
+    gv2, gl2 = jax.grad(f(False), argnums=(0, 1))(value, logits)
+    sv = float(jnp.max(jnp.abs(gv2))) + 1e-9
+    sl = float(jnp.max(jnp.abs(gl2))) + 1e-9
+    assert float(jnp.max(jnp.abs(gv1 - gv2))) / sv < 2e-2
+    assert float(jnp.max(jnp.abs(gl1 - gl2))) / sl < 2e-2
+
+
 @pytest.mark.parametrize("runs", [False, True])
 def test_box_attention_window_edge_zeroing(runs):
     """Points sampling outside the map contribute zero on both paths."""
