@@ -162,6 +162,39 @@ def window_gather_dec(vals, grids, attn):
     )
 
 
+@variant
+def window_gather_dec_rows(vals, grids, attn):
+    """Decoder-scale, legacy per-row gather + autodiff scatter bwd."""
+    v = vals[0]
+    b, h, w, c = v.shape
+    lq = 1600
+    rs2 = np.random.RandomState(7)
+    base = jnp.asarray(
+        np.stack(
+            [rs2.randint(0, h, (b, lq)), rs2.randint(0, w, (b, lq))], -1
+        ).astype(np.int32)
+    )
+    a = BA.bin_window_coeffs(grids[:, :lq], attn[:, :lq], base, h, w, 8)
+    return BA.box_attention_window_gather(
+        v, a, base, num_heads=NH, radius=8, chunk=512, runs=False
+    )
+
+
+@variant
+def window_dense_mxu(vals, grids, attn):
+    """Encoder-scale tile-local dense attention on the MXU."""
+    v = vals[0]
+    b, h, w, c = v.shape
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    base = jnp.asarray(
+        np.broadcast_to(
+            np.stack([yy.reshape(-1), xx.reshape(-1)], -1)[None], (b, h * w, 2)
+        ).astype(np.int32)
+    )
+    a = BA.bin_window_coeffs(grids, attn, base, h, w, RADIUS)
+    return BA.box_attention_window_dense_mxu(v, a, num_heads=NH, radius=RADIUS)
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(VARIANTS)
     for n in names:
