@@ -203,6 +203,7 @@ def main():
     # is donated, so lower/cost-analysis must happen before execution)
     fps = sec_per_step = model_flops = 0.0
     bsz = bs_candidates[0]
+    fallback_error = None
     for bsz in bs_candidates:
         try:
             batch = ge._batch(n_points, bsz=bsz, pc=70.0)
@@ -226,11 +227,16 @@ def main():
             fps = bsz * n_iters / dt
             sec_per_step = dt / n_iters
             break
-        except Exception:
+        except Exception as e:
             if bsz == bs_candidates[-1]:
                 raise
+            # record the fallback so a regression that kills the big batch
+            # can't masquerade as a clean (differently-amortized) bs=2 run
+            fallback_error = f"bs={bsz}: {e!r}"[:200]
 
     extras = {f"sec_per_step_bs{bsz}": round(sec_per_step, 4), "batch_size": bsz}
+    if fallback_error:
+        extras["fallback_error"] = fallback_error
     try:
         flops = model_flops
         extras.update(

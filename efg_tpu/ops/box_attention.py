@@ -264,10 +264,16 @@ def box_attention_window_dense_mxu(
     kq = base[:, None] + off[None, :]                 # [Q, S²]
     p_mat = (kq[:, :, None] == jnp.arange(ey * ex)).astype(jnp.bfloat16)
 
-    a_t = jnp.einsum("btqno,qok->btnqk", a, p_mat,
-                     preferred_element_type=jnp.bfloat16)
-    out = jnp.einsum("btnqk,btknd->btqnd", a_t, k_pat,
-                     preferred_element_type=jnp.float32)
+    # remat: a_t ([B,T,NH,Q,ey·ex] bf16, ~4.7× the coeffs tensor) is cheap
+    # to rebuild from the one-hot matmul — don't hold it live for the bwd
+    @jax.checkpoint
+    def attend(a_, k_):
+        a_t = jnp.einsum("btqno,qok->btnqk", a_, p_mat,
+                         preferred_element_type=jnp.bfloat16)
+        return jnp.einsum("btnqk,btknd->btqnd", a_t, k_,
+                          preferred_element_type=jnp.float32)
+
+    out = attend(a, k_pat)
     out = out.reshape(b, nty, ntx, ty, tx, c).transpose(0, 1, 3, 2, 4, 5)
     out = out.reshape(b, nty * ty, ntx * tx, c)[:, :h, :w]
     return out.reshape(b, h * w, c).astype(value.dtype)
@@ -457,7 +463,18 @@ def box_attention_window_gather(
     ~(2R+1)·C·2 bytes instead of S² 1KB row descriptors) and carries a
     custom VJP whose dV pass is a serial in-place window accumulation
     instead of the gather-transpose XLA scatter. runs=False is the plain
-    per-row autodiff oracle."""
+    per-row autodiff oracle.
+
+    Contract: `base_yx` must be IN-MAP (0 ≤ y < H, 0 ≤ x < W — what the
+    model's anchor clip produces) and be the same anchors the coeffs were
+    binned against. The runs path positions each window row as one slice
+    from the anchor, so an out-of-map anchor would misalign every bin
+    (the per-row oracle instead clamps each cell independently)."""
+    base_yx = jnp.clip(
+        base_yx,
+        jnp.zeros((2,), jnp.int32),
+        jnp.asarray([value.shape[1] - 1, value.shape[2] - 1], jnp.int32),
+    )
     if runs:
         return _window_gather_runs(value, coeffs, base_yx, num_heads, radius, chunk)
 

@@ -373,6 +373,19 @@ class PreppedRule:
     n_groups: int = struct.field(pytree_node=False)
 
 
+def _tile_for(cin_padded: int, tile: int) -> int:
+    """VMEM-budget tile clamp: the window/accumulator scratch scales with
+    c3p = 3·cin and tile (gacc 3·(tile/128)·c3p·128·f32 + wbuf
+    2·(tile+wslack)·c3p·bf16 + stacked 9·cin·tile·bf16 + out tile·cout·f32).
+    At cin=256 the default TILE=1024 needs ~24MB > the 16MB scoped limit
+    (hit by ConQueR's res4); halve the tile for wide channels."""
+    if cin_padded > 192:
+        return min(tile, 256)
+    if cin_padded > 128:
+        return min(tile, 512)
+    return tile
+
+
 def prep_rulebook(
     packed: jax.Array,  # [P=3·G, V_out] anchor rulebook
     v_in: int,  # input rows (the range of pos values)
@@ -383,15 +396,7 @@ def prep_rulebook(
     wslack: int = WSLACK,
 ) -> PreppedRule:
     cin = _rup(max(cin, 1), 16)
-    # VMEM budget: the window/accumulator scratch scales with c3p = 3·cin
-    # and tile (gacc 3·(tile/128)·c3p·128·f32 + wbuf 2·(tile+wslack)·c3p·bf16
-    # + stacked 9·cin·tile·bf16 + out tile·cout·f32). At cin=256 the
-    # default TILE=1024 needs ~24MB > the 16MB scoped limit (hit by
-    # ConQueR's res4); halve the tile for wide channels.
-    if cin > 192:
-        tile = min(tile, 256)
-    elif cin > 128:
-        tile = min(tile, 512)
+    tile = _tile_for(cin, tile)
     raw = packed
     v_out = packed.shape[1]
     n_groups = packed.shape[0] // 3
@@ -457,7 +462,13 @@ def fused_gather_gemm(
     symmetry dW[κ] = Σ_u f[u]·stacked_g[flip(κ), u] where stacked_g is the
     d_features pass's gather of the output grads."""
     v_in, cin = features.shape
-    if not isinstance(rule, PreppedRule) or rule.pack2 != (3 * _rup(cin, 16) <= 64):
+    # re-prep when the rule's derived layout doesn't fit THIS gather's
+    # channel count: pack2 mismatch, or a tile prepped for narrow channels
+    # exceeding the wide-channel VMEM clamp (e.g. a cin<=128 rule reused
+    # by the backward pass to gather cout=256 grads)
+    if (not isinstance(rule, PreppedRule)
+            or rule.pack2 != (3 * _rup(cin, 16) <= 64)
+            or rule.tile > _tile_for(_rup(cin, 16), rule.tile)):
         raw = rule.raw if isinstance(rule, PreppedRule) else rule
         rule = prep_rulebook(raw, v_in, cin, tile=tile, band=band, wslack=wslack)
     cout = weights.shape[1]
@@ -558,7 +569,13 @@ def fused_gather_dw(
 ) -> jax.Array:
     """dW [P·3·C, O] f32 for the packed contraction (rows (pair, tap, c))."""
     v_in, cin = features.shape
-    if not isinstance(rule, PreppedRule) or rule.pack2 != (3 * _rup(cin, 16) <= 64):
+    # re-prep when the rule's derived layout doesn't fit THIS gather's
+    # channel count: pack2 mismatch, or a tile prepped for narrow channels
+    # exceeding the wide-channel VMEM clamp (e.g. a cin<=128 rule reused
+    # by the backward pass to gather cout=256 grads)
+    if (not isinstance(rule, PreppedRule)
+            or rule.pack2 != (3 * _rup(cin, 16) <= 64)
+            or rule.tile > _tile_for(_rup(cin, 16), rule.tile)):
         raw = rule.raw if isinstance(rule, PreppedRule) else rule
         rule = prep_rulebook(raw, v_in, cin, tile=tile, band=band, wslack=wslack)
     cout = g.shape[1]
