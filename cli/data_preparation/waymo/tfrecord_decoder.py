@@ -38,11 +38,50 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 
-def read_tfrecord(path: str) -> Iterator[bytes]:
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """Software CRC32C (Castagnoli) — used by the fixture writer; bulk
+    scanning/verification runs in the native library when built."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (0x82F63B78 ^ (c >> 1)) if (c & 1) else (c >> 1)
+            tbl.append(c)
+        _CRC32C_TABLE = tbl
+    c = 0xFFFFFFFF
+    for b in data:
+        c = _CRC32C_TABLE[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    c = _crc32c(data)
+    return (((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+def read_tfrecord(path: str, verify: bool = True) -> Iterator[bytes]:
     """Yield record payloads. Layout per record: uint64 length, uint32
-    masked-crc(length), payload, uint32 masked-crc(payload). CRCs are not
-    verified (no crc32c in the stdlib; corruption surfaces as parse errors).
-    """
+    masked-crc(length), payload, uint32 masked-crc(payload).
+
+    When the native host library is built, framing + CRC verification run
+    in C++ (`csrc/efg_host.cpp tfrecord_scan`); the pure-python fallback
+    skips CRC checks (corruption surfaces as parse errors)."""
+    try:
+        from efg_tpu import native
+    except ImportError:
+        native = None
+    if native is not None and native.available():
+        offsets, lengths = native.tfrecord_scan(path, verify_payload_crc=verify)
+        with open(path, "rb") as f:
+            for off, ln in zip(offsets.tolist(), lengths.tolist()):
+                f.seek(off)
+                yield f.read(ln)
+        return
     with open(path, "rb") as f:
         while True:
             header = f.read(8)
@@ -58,13 +97,14 @@ def read_tfrecord(path: str) -> Iterator[bytes]:
 
 
 def write_tfrecord(path: str, records: List[bytes]) -> None:
-    """Fixture writer (CRC fields zeroed — `read_tfrecord` ignores them)."""
+    """Writer with real masked CRC32C fields (valid TFRecord files)."""
     with open(path, "wb") as f:
         for payload in records:
-            f.write(struct.pack("<Q", len(payload)))
-            f.write(b"\0\0\0\0")
+            header = struct.pack("<Q", len(payload))
+            f.write(header)
+            f.write(struct.pack("<I", _masked_crc(header)))
             f.write(payload)
-            f.write(b"\0\0\0\0")
+            f.write(struct.pack("<I", _masked_crc(payload)))
 
 
 # ---------------------------------------------------------------------------

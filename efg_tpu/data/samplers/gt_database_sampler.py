@@ -145,7 +145,13 @@ class DataBaseSampler:
         sp_boxes = np.stack([p["box3d_lidar"] for p in picked], axis=0)
         all_boxes = np.concatenate([gt_boxes, sp_boxes], axis=0)
         corners = G.boxes_to_corners_bev(all_boxes)
-        coll = G.box_collision_test(corners, corners)
+        from efg_tpu import native
+
+        coll = (
+            native.box_collision_test(corners, corners)
+            if native.available()
+            else G.box_collision_test(corners, corners)
+        )
         np.fill_diagonal(coll, False)
 
         valid = []

@@ -37,6 +37,17 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.box_collision_test.restype = None
+        lib.box_collision_test.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.tfrecord_scan.restype = ctypes.c_int64
+        lib.tfrecord_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     return _lib
 
@@ -84,3 +95,42 @@ def points_in_rbbox(points: np.ndarray, boxes: np.ndarray, margin: float = 0.0) 
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.astype(bool)
+
+
+def box_collision_test(corners_a: np.ndarray, corners_b: np.ndarray) -> np.ndarray:
+    """[N, 4, 2] × [K, 4, 2] BEV corner polygons → [N, K] bool overlap
+    (same contract as `geometry.box_ops_np.box_collision_test`)."""
+    lib = _load()
+    ca = np.ascontiguousarray(corners_a, np.float32)
+    cb = np.ascontiguousarray(corners_b, np.float32)
+    n, k = ca.shape[0], cb.shape[0]
+    out = np.zeros((n, k), np.uint8)
+    if n and k:
+        lib.box_collision_test(
+            _fptr(ca), n, _fptr(cb), k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+    return out.astype(bool)
+
+
+def tfrecord_scan(path: str, verify_payload_crc: bool = True):
+    """Scan a TFRecord file natively (framing + masked-CRC32C checks the
+    pure-python decoder skips) → (offsets, lengths) int64 arrays of every
+    payload. Raises on a corrupt record."""
+    lib = _load()
+    pathb = os.fsencode(path)
+    null = ctypes.POINTER(ctypes.c_int64)()
+    count = lib.tfrecord_scan(pathb, 0, int(verify_payload_crc), null, null)
+    if count < 0:
+        raise IOError(f"corrupt TFRecord {path!r} at record {-count - 1}")
+    offsets = np.zeros(count, np.int64)
+    lengths = np.zeros(count, np.int64)
+    if count:
+        got = lib.tfrecord_scan(
+            pathb, count, 0,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if got != count:
+            raise IOError(f"TFRecord {path!r} changed during scan")
+    return offsets, lengths

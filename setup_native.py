@@ -12,7 +12,10 @@ def build():
     os.makedirs(out_dir, exist_ok=True)
     out = os.path.join(out_dir, "libefg_host.so")
     src = os.path.join(root, "csrc", "efg_host.cpp")
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", src, "-o", out]
+    # -ffp-contract=off: no FMA contraction — the geometry predicates
+    # (cross-product signs) must round exactly like numpy's mult-then-sub
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+           "-fPIC", "-std=c++17", src, "-o", out]
     print(" ".join(cmd))
     subprocess.check_call(cmd)
     print(f"Built {out}")
