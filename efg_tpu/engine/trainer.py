@@ -346,12 +346,30 @@ class DefaultTrainer:
         for ev in evaluators:
             ev.reset()
         n_batches = len(loader)
+        n_data = int(self.mesh.shape.get("data", 1))
         for i, batch in enumerate(loader):
-            device_batch = shard_batch(
-                {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}, self.mesh
-            )
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            # eval loaders may emit batches smaller than the data mesh axis
+            # (sequential trackers use bs=1); pad with repeats of the last
+            # frame so the batch shards, and trim the outputs back
+            bs = min((v.shape[0] for v in arrays.values()), default=0)
+            pad = (-bs) % n_data if bs else 0
+            if pad:
+                arrays = {
+                    k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], axis=0)
+                    if v.shape[0] == bs else v
+                    for k, v in arrays.items()
+                }
+            device_batch = shard_batch(arrays, self.mesh)
             outputs = self.eval_step(self.state, device_batch)
             outputs = jax.device_get(outputs)
+            if pad:
+                outputs = jax.tree.map(
+                    lambda a: a[:bs]
+                    if getattr(a, "ndim", 0) >= 1 and a.shape[0] == bs + pad
+                    else a,
+                    outputs,
+                )
             for ev in evaluators:
                 ev.process(batch, outputs)
             if (i + 1) % 50 == 0:

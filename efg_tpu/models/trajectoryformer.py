@@ -170,6 +170,81 @@ def crop_hypothesis_points(
 # Training losses (reference `get_cls_targets`/`get_reg_targets`/`get_loss`)
 # ---------------------------------------------------------------------------
 
+def smooth_l1(diff: jax.Array, beta: float) -> jax.Array:
+    """Reference `WeightedSmoothL1Loss.smooth_l1_loss` (losses.py:34-41)."""
+    n = jnp.abs(diff)
+    if beta < 1e-5:
+        return n
+    return jnp.where(n < beta, 0.5 * n * n / beta, n - 0.5 * beta)
+
+
+def encode_boxes(gt: jax.Array, anchors: jax.Array) -> jax.Array:
+    """ResidualCoder encode — exact inverse of the reference's
+    `decode_torch` (losses.py:132-159): center offsets normalized by the
+    BEV diagonal (z by height), log dims, yaw delta."""
+    xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, -1)
+    xg, yg, zg, dxg, dyg, dzg, rg = jnp.split(gt[..., :7], 7, -1)
+    dxa = jnp.maximum(dxa, 1e-3)
+    dya = jnp.maximum(dya, 1e-3)
+    dza = jnp.maximum(dza, 1e-3)
+    diag = jnp.sqrt(dxa**2 + dya**2)
+    return jnp.concatenate(
+        [
+            (xg - xa) / diag, (yg - ya) / diag, (zg - za) / dza,
+            jnp.log(jnp.maximum(dxg, 1e-3) / dxa),
+            jnp.log(jnp.maximum(dyg, 1e-3) / dya),
+            jnp.log(jnp.maximum(dzg, 1e-3) / dza),
+            rg - ra,
+        ],
+        axis=-1,
+    )
+
+
+def decode_boxes(enc: jax.Array, anchors: jax.Array) -> jax.Array:
+    """Reference `decode_torch` (losses.py:132-159)."""
+    xa, ya, za, dxa, dya, dza, ra = jnp.split(anchors[..., :7], 7, -1)
+    xt, yt, zt, dxt, dyt, dzt, rt = jnp.split(enc[..., :7], 7, -1)
+    diag = jnp.sqrt(dxa**2 + dya**2)
+    return jnp.concatenate(
+        [
+            xt * diag + xa, yt * diag + ya, zt * dza + za,
+            jnp.exp(dxt) * dxa, jnp.exp(dyt) * dya, jnp.exp(dzt) * dza,
+            rt + ra,
+        ],
+        axis=-1,
+    )
+
+
+def corner_loss_lidar(pred7: jax.Array, gt7: jax.Array) -> jax.Array:
+    """[N, 7] × [N, 7] → [N]: per-corner distance to GT (min over the
+    yaw-flipped GT), smooth-L1 at beta=1, mean over the 8 corners
+    (reference `get_corner_loss_lidar`, losses.py:79-103)."""
+    from efg_tpu.geometry import box_ops_jnp as G3
+
+    pc = G3.boxes_to_corners_3d(pred7)
+    gc = G3.boxes_to_corners_3d(gt7)
+    gt_flip = gt7.at[..., 6].add(jnp.pi)
+    gcf = G3.boxes_to_corners_3d(gt_flip)
+    d = jnp.minimum(
+        jnp.linalg.norm(pc - gc, axis=-1), jnp.linalg.norm(pc - gcf, axis=-1)
+    )
+    return smooth_l1(d, 1.0).mean(axis=-1)
+
+
+def corner_loss(point_reg: jax.Array, rois: jax.Array, gt: jax.Array) -> jax.Array:
+    """[N] per-box corner loss of the DECODED refinement (reference
+    `get_corner_loss`, losses.py:106-129): decode in the roi-local frame
+    (anchors with xyz zeroed), rotate the decoded center by the roi yaw,
+    translate by the roi center, then corner distance to GT."""
+    from efg_tpu.geometry import box_ops_jnp as G3
+
+    anchors0 = jnp.concatenate([jnp.zeros_like(rois[:, :3]), rois[:, 3:7]], -1)
+    local = decode_boxes(point_reg[:, :7], anchors0)
+    rot = G3.rotate_points_along_z(local[:, None, :], rois[:, 6])[:, 0]
+    dec = jnp.concatenate([rot[:, :3] + rois[:, :3], rot[:, 3:]], axis=-1)
+    return corner_loss_lidar(dec, gt[:, :7])
+
+
 def compute_loss(
     outputs: Dict[str, jax.Array],
     hyp_boxes: jax.Array,   # [N, 7]
@@ -182,7 +257,9 @@ def compute_loss(
 ) -> Dict[str, jax.Array]:
     """Confidence target = clipped/scaled best IoU against GT (reference
     `get_iou_labels`, `trajectoryformer.py:847-858`); regression on
-    hypotheses with IoU > hi toward their matched GT residual."""
+    hypotheses with IoU > hi: smooth-L1 (beta=1/9) on the ResidualCoder
+    encoding + decoded corner loss, the reference `get_loss` composition
+    (`trajectoryformer.py:929-972`)."""
     iou = iou_bev(hyp_boxes, gt_boxes)  # [N, G]
     iou = jnp.where(gt_mask[None, :], iou, -1.0)
     best = iou.max(axis=1)
@@ -195,17 +272,16 @@ def compute_loss(
     loss_cls = (bce * vf).sum() / jnp.maximum(vf.sum(), 1.0)
 
     matched_gt = gt_boxes[match]
-    residual = jnp.concatenate(
-        [
-            (matched_gt[:, :3] - hyp_boxes[:, :3]) / jnp.maximum(hyp_boxes[:, 3:6], 0.1),
-            jnp.log(jnp.maximum(matched_gt[:, 3:6], 1e-3) / jnp.maximum(hyp_boxes[:, 3:6], 1e-3)),
-            (matched_gt[:, 6:7] - hyp_boxes[:, 6:7]),
-        ],
-        axis=-1,
-    )
+    residual = encode_boxes(matched_gt[:, :7], hyp_boxes[:, :7])
     pos = (best > iou_hi) & valid
-    pf = pos.astype(jnp.float32)[:, None]
-    loss_reg = (jnp.abs(outputs["refine"] - residual) * pf).sum() / jnp.maximum(pf.sum(), 1.0)
+    pf = pos.astype(jnp.float32)
+    n_pos = jnp.maximum(pf.sum(), 1.0)
+    per = smooth_l1(outputs["refine"] - residual, 1.0 / 9.0)
+    loss_reg = (per * pf[:, None]).sum() / n_pos
+    loss_corner = (
+        corner_loss(outputs["refine"], hyp_boxes[:, :7], matched_gt[:, :7]) * pf
+    ).sum() / n_pos
+    loss_reg = loss_reg + loss_corner
 
     return dict(
         loss_cls=loss_cls, loss_reg=loss_reg, loss=loss_cls + loss_reg,
@@ -214,11 +290,16 @@ def compute_loss(
 
 
 def apply_refinement(hyp_boxes: jax.Array, refine: jax.Array) -> jax.Array:
-    """Inverse of the residual encoding (reference `generate_refined_boxes`)."""
-    xyz = hyp_boxes[:, :3] + refine[:, :3] * jnp.maximum(hyp_boxes[:, 3:6], 0.1)
-    lwh = hyp_boxes[:, 3:6] * jnp.exp(refine[:, 3:6])
-    yaw = hyp_boxes[:, 6:7] + refine[:, 6:7]
-    return jnp.concatenate([xyz, lwh, yaw], axis=-1)
+    """Decode the refinement exactly as the corner loss does (reference
+    `get_corner_loss` decode path / `generate_refined_boxes`): roi-local
+    decode, rotate the decoded center by the roi yaw, translate."""
+    from efg_tpu.geometry import box_ops_jnp as G3
+
+    hyp7 = hyp_boxes[:, :7]
+    anchors0 = jnp.concatenate([jnp.zeros_like(hyp7[:, :3]), hyp7[:, 3:7]], -1)
+    local = decode_boxes(refine[:, :7], anchors0)
+    rot = G3.rotate_points_along_z(local[:, None, :], hyp7[:, 6])[:, 0]
+    return jnp.concatenate([rot[:, :3] + hyp7[:, :3], rot[:, 3:]], axis=-1)
 
 
 class TrajectoryFormerDet(nn.Module):
