@@ -203,7 +203,14 @@ def _decode_value(text: str) -> Any:
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):
-        return text
+        pass
+    # bare-word containers like `[data,model]` (omegaconf-style overrides)
+    if text[:1] in "[{":
+        try:
+            return yaml.safe_load(text)
+        except yaml.YAMLError:
+            pass
+    return text
 
 
 _IDX_RE = re.compile(r"^(.*)\[(\d+)\]$")

@@ -90,6 +90,22 @@ class DefaultTrainer:
         )
 
     # ----------------------------------------------------------------- model
+    def _tp_rules(self):
+        """Tensor-parallel rule set from `mesh.tp_rules` (config), active
+        only when the model mesh axis is wider than 1."""
+        mesh_cfg = dict(self.config.get("mesh", {}) or {})
+        name = mesh_cfg.get("tp_rules")
+        if not name or self.mesh.shape.get("model", 1) <= 1:
+            return None
+        from efg_tpu.parallel import partition
+
+        factory = {
+            "centerpoint": partition.centerpoint_tp_rules,
+            "detr": partition.detr_tp_rules,
+        }.get(str(name))
+        assert factory is not None, f"unknown mesh.tp_rules={name!r}"
+        return factory()
+
     def setup_optimizer(self):
         cfg = self.config.solver
         sched_cfg = dict(cfg.lr_scheduler)
@@ -98,6 +114,7 @@ class DefaultTrainer:
         self.tx = build_optimizer(
             cfg.optimizer, self.lr_schedule, self.momentum_schedule,
             grad_clip_cfg=cfg.get("grad_clipper"),
+            allow_flatten=self._tp_rules() is None,
         )
 
     def setup_state(self):
@@ -112,9 +129,38 @@ class DefaultTrainer:
         batch_stats = variables.get("batch_stats", {})
         if getattr(self.model_def, "init_params", None):
             params = self.model_def.init_params(params)
-        opt_state = self.tx.init(params)
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
         logger.info(f"Model parameters: {n_params / 1e6:.2f}M")
+        rules = self._tp_rules()
+        if rules is not None:
+            # tensor parallelism: parameters carry rule-derived shardings;
+            # the optimizer moments inherit them through jit propagation
+            from efg_tpu.parallel.partition import make_param_shardings
+
+            def place(tree):
+                return jax.tree.map(
+                    jax.device_put, tree,
+                    make_param_shardings(self.mesh, tree, rules),
+                )
+
+            params = place(params)
+            batch_stats = place(batch_stats)
+            opt_state = jax.jit(self.tx.init)(params)
+            ema = (
+                place(self.model_def.ema_init(params))
+                if self.model_def.ema_init else None
+            )
+            self.state = TrainState(
+                step=replicate_tree(jnp.zeros((), jnp.int32), self.mesh),
+                params=params, batch_stats=batch_stats,
+                opt_state=opt_state, ema_params=ema,
+            )
+            logger.info(
+                f"Tensor parallelism active: mesh={dict(self.mesh.shape)}, "
+                f"rules={self.config.mesh.tp_rules}"
+            )
+            return
+        opt_state = self.tx.init(params)
         ema = self.model_def.ema_init(params) if self.model_def.ema_init else None
         state = TrainState(
             step=jnp.zeros((), jnp.int32), params=params,
@@ -282,15 +328,25 @@ class DefaultTrainer:
             state = state.replace(
                 params=variables["params"], batch_stats=variables["batch_stats"]
             )
-            self.state = replicate_tree(state, self.mesh)
+            self.state = self._place_like_current(state)
             return
         abstract = jax.device_get(self.state)
         with ocp.StandardCheckpointer() as ckptr:
             restored = ckptr.restore(os.path.abspath(path), abstract)
-        self.state = replicate_tree(restored, self.mesh)
+        self.state = self._place_like_current(restored)
         self.start_iter = int(restored.step)
         self.iter = self.start_iter
         logger.info(f"Restored checkpoint {path} at step {self.start_iter}")
+
+    def _place_like_current(self, state):
+        """Re-place a host-side state with the live state's shardings —
+        replication in the dp case, the rule-derived TP placement
+        otherwise (checkpoint restore must not silently drop TP)."""
+        if self._tp_rules() is None:
+            return replicate_tree(state, self.mesh)
+        return jax.tree.map(
+            lambda x, ref: jax.device_put(x, ref.sharding), state, self.state
+        )
 
     # ----------------------------------------------------------------- train
     def train(self):

@@ -7,7 +7,7 @@ def _register_defaults():
     registration keeps import time low)."""
     from efg_tpu.modeling.backbones.fpn import FPN
     from efg_tpu.modeling.backbones.resnet import ResNet
-    from efg_tpu.modeling.backbones.rpn import RPN
+    from efg_tpu.modeling.backbones.rpn import RPN, RPNFixBNMom
     from efg_tpu.modeling.backbones.sparse_net import SpMiddleResNetFHD
     from efg_tpu.modeling.backbones.sparse_resnet import SparseResNet
     from efg_tpu.modeling.backbones.swin import SwinTransformer
@@ -23,7 +23,7 @@ def _register_defaults():
     )
     from efg_tpu.modeling.readers.voxel_reader import PillarFeatureNet, dynamic_mean_vfe
 
-    for b in (SpMiddleResNetFHD, SparseResNet, RPN, ResNet, FPN, SwinTransformer):
+    for b in (SpMiddleResNetFHD, SparseResNet, RPN, RPNFixBNMom, ResNet, FPN, SwinTransformer):
         if b.__name__ not in BACKBONES:
             BACKBONES.register(b)
     for h in (CenterHead, SepHead, MultiGroupHead):

@@ -20,6 +20,8 @@ _conv_init = nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform")
 class _ConvBNReLU(nn.Module):
     features: int
     stride: int = 1
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -30,8 +32,8 @@ class _ConvBNReLU(nn.Module):
             padding=1, use_bias=False, kernel_init=_conv_init,
             dtype=jnp.bfloat16,
         )(x)
-        x = nn.BatchNorm(momentum=0.9, epsilon=1e-5, use_running_average=not train,
-                         dtype=jnp.float32)(x)
+        x = nn.BatchNorm(momentum=self.bn_momentum, epsilon=self.bn_eps,
+                         use_running_average=not train, dtype=jnp.float32)(x)
         return jax.nn.relu(x)
 
 
@@ -41,6 +43,8 @@ class RPN(nn.Module):
     ds_num_filters: Sequence[int] = (128, 256)
     us_layer_strides: Sequence[int] = (1, 2)
     us_num_filters: Sequence[int] = (256, 256)
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
 
     @property
     def num_channels(self) -> int:
@@ -51,10 +55,12 @@ class RPN(nn.Module):
         assert len(self.layer_nums) == len(self.ds_layer_strides) == len(self.ds_num_filters)
         upsample_start = len(self.layer_nums) - len(self.us_layer_strides)
         ups = []
+        bn_kw = dict(bn_momentum=self.bn_momentum, bn_eps=self.bn_eps)
         for i, n_layers in enumerate(self.layer_nums):
-            x = _ConvBNReLU(self.ds_num_filters[i], stride=self.ds_layer_strides[i], name=f"block{i}_in")(x, train)
+            x = _ConvBNReLU(self.ds_num_filters[i], stride=self.ds_layer_strides[i],
+                            name=f"block{i}_in", **bn_kw)(x, train)
             for j in range(n_layers):
-                x = _ConvBNReLU(self.ds_num_filters[i], name=f"block{i}_conv{j}")(x, train)
+                x = _ConvBNReLU(self.ds_num_filters[i], name=f"block{i}_conv{j}", **bn_kw)(x, train)
             ui = i - upsample_start
             if ui >= 0:
                 stride = self.us_layer_strides[ui]
@@ -72,8 +78,17 @@ class RPN(nn.Module):
                         dtype=jnp.bfloat16, name=f"deblock{ui}_conv",
                     )(x)
                 u = nn.BatchNorm(
-                    momentum=0.9, epsilon=1e-5, use_running_average=not train,
-                    name=f"deblock{ui}_bn",
+                    momentum=self.bn_momentum, epsilon=self.bn_eps,
+                    use_running_average=not train, name=f"deblock{ui}_bn",
                 )(u)
                 ups.append(jax.nn.relu(u))
         return jnp.concatenate(ups, axis=-1) if ups else x
+
+
+class RPNFixBNMom(RPN):
+    """Reference `RPNFixBNMom` (`efg/modeling/backbones/configurable_rpn.py:
+    125-137`): same topology with hardcoded BN eps=1e-3, torch momentum=0.01
+    (new-stats weight) → flax EMA decay 0.99."""
+
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3

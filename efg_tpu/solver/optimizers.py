@@ -140,7 +140,8 @@ def lars_sgd(*, lr_schedule, momentum_schedule=None, momentum=0.9, weight_decay=
     )
 
 
-def build_optimizer(cfg, lr_schedule, momentum_schedule=None, *, grad_clip_cfg=None):
+def build_optimizer(cfg, lr_schedule, momentum_schedule=None, *, grad_clip_cfg=None,
+                    allow_flatten=True):
     """cfg = config.solver.optimizer; optional grad clipping prepended
     (reference `Optimization` hook clip, `efg/engine/hooks.py:17-22,68-81`)."""
     kind = cfg["type"]
@@ -158,10 +159,12 @@ def build_optimizer(cfg, lr_schedule, momentum_schedule=None, *, grad_clip_cfg=N
         else:
             raise ValueError(f"Unknown clip_type {clip_type}")
         tx = optax.chain(clip, tx)
-    if kind in ("AdamW", "Adam"):
+    if kind in ("AdamW", "Adam") and allow_flatten:
         # flatten per-leaf updates into ONE fused vector op: ~200 tiny
         # per-parameter fusions (clip norms + adamw moments) cost ~10 ms
         # per step on TPU (device trace); tree-structured transforms
-        # (multi_transform / masked) cannot flatten
+        # (multi_transform / masked) cannot flatten. Disabled under tensor
+        # parallelism: a single flat vector cannot carry per-parameter
+        # shardings, so the moments would be replicated + re-gathered.
         tx = optax.flatten(tx)
     return tx

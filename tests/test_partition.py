@@ -138,3 +138,53 @@ def test_shard_params_places_arrays():
     leaf = out["neck"]["block0_in"]["Conv_0"]["kernel"]
     assert leaf.sharding.spec == P(None, None, None, "model")
     np.testing.assert_allclose(np.asarray(leaf), 1.0)
+
+
+def test_trainer_tp_e2e(tmp_path, monkeypatch):
+    """`mesh.tp_rules` config wiring: DefaultTrainer places params with the
+    rule shardings, trains under dp×tp, and checkpoint restore keeps the
+    TP placement (trainer.py `_tp_rules`/`_place_like_current`)."""
+    import os
+
+    from efg_tpu.config import Configuration
+    from efg_tpu.engine.trainer import build_trainer
+
+    exp = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "playground/detection.3d/synthetic/centerpoint.synth.voxelnet",
+    )
+    monkeypatch.setenv("EFG_CACHE_DIR", str(tmp_path))
+    import importlib
+    import sys
+
+    sys.path.insert(0, exp)
+    if "net" in sys.modules:
+        del sys.modules["net"]
+    net = importlib.import_module("net")
+    sys.path.remove(exp)
+
+    cfg = Configuration(config_file=os.path.join(exp, "config.yaml")).get_config()
+    cfg.solver.lr_scheduler.max_iters = 2
+    cfg.dataloader.batch_size = 4
+    cfg.trainer.output_dir = str(tmp_path / "tp")
+    cfg["mesh"] = {"axes": ["data", "model"], "shape": [-1, 2], "tp_rules": "centerpoint"}
+    trainer = build_trainer(cfg, net.build_model)
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+    kern = trainer.state.params["neck"]["block0_in"]["Conv_0"]["kernel"]
+    assert kern.sharding.spec == P(None, None, None, "model")
+    trainer.train()
+    trainer.save_checkpoint("model_tp")
+    kern = trainer.state.params["neck"]["block0_in"]["Conv_0"]["kernel"]
+
+    cfg2 = Configuration(config_file=os.path.join(exp, "config.yaml")).get_config()
+    cfg2.solver.lr_scheduler.max_iters = 2
+    cfg2.dataloader.batch_size = 4
+    cfg2.trainer.output_dir = trainer.output_dir
+    cfg2["mesh"] = {"axes": ["data", "model"], "shape": [-1, 2], "tp_rules": "centerpoint"}
+    trainer2 = build_trainer(cfg2, net.build_model)
+    trainer2.resume_or_load(resume=True)
+    k2 = trainer2.state.params["neck"]["block0_in"]["Conv_0"]["kernel"]
+    assert k2.sharding.spec == P(None, None, None, "model")
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(k2)), np.asarray(jax.device_get(kern)), atol=0
+    )

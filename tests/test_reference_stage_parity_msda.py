@@ -27,13 +27,17 @@ from efg_tpu.ops.ms_deform_attn import ms_deform_attn_sample
 
 @pytest.fixture(scope="module")
 def ref_core():
-    # `from efg import _C` guards the CUDA extension; stub it for CPU import
+    # `from efg import _C` guards the CUDA extension; stub it for CPU import.
+    # Other parity tests may already have imported the REAL reference `efg`
+    # package (which has no compiled `_C`) — always ensure the attribute.
     if "efg" not in sys.modules:
         pkg = types.ModuleType("efg")
         pkg.__path__ = ["/root/reference/efg"]
-        pkg._C = types.SimpleNamespace()
         sys.modules["efg"] = pkg
-        sys.modules["efg._C"] = pkg._C
+    pkg = sys.modules["efg"]
+    if not hasattr(pkg, "_C"):
+        pkg._C = types.SimpleNamespace()
+    sys.modules.setdefault("efg._C", pkg._C)
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
