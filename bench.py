@@ -37,7 +37,7 @@ import numpy as np
 A100_REF_FPS = 20.0
 
 
-def bench_conquer(n_iters: int = 6):
+def bench_conquer(n_iters: int = 12):
     """ConQueR train-step throughput at Waymo scale (BASELINE.json names
     this metric explicitly): 120k-voxel sparse ResNet-18 + box-attention
     encoder ×3 + decoder ×3, Q=1000, CDN (dn=3) + Hungarian matcher +
@@ -187,8 +187,9 @@ def main():
     # actually synchronize (measured: it reports impossible TFLOP/s), and
     # each dispatch pays a large network roundtrip. So: run N steps inside
     # ONE jitted lax.scan and force a scalar value fetch — one roundtrip,
-    # honest amortized per-step time.
-    n_iters = 10
+    # honest amortized per-step time. The roundtrip costs ~26 ms per scan
+    # call (measured); at n=10 that biased per-step time +2.6 ms, so n=30.
+    n_iters = 30
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_n(state, batch):
