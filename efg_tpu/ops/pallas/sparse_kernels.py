@@ -49,10 +49,21 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 1024  # output rows per grid step (TILE/128 bands per pair)
+import os as _os
+
+TILE = int(_os.environ.get("EFG_SPARSE_TILE", 1024))
+# output rows per grid step (TILE/128 bands per pair); env-tunable for sweeps
 BAND = 128   # band rows per 128 output rows (r3 sweep: 128 beats 192/160;
              # 96 collapses into the fallback pass)
 WSLACK = 512  # window rows beyond TILE (covers group spread + density)
+
+# rank-kernel implementation: "seq" (128-key chunks) or "seq4" (512-key
+# super-chunks, fewer while iterations) — A/B via env until measured on TPU
+_RANK_IMPL = _os.environ.get("EFG_RANK_IMPL", "seq")
+
+# group-merged forward grid (one step per tile instead of per (tile, group))
+# — A/B via env until measured on TPU
+_G3 = _os.environ.get("EFG_SPARSE_G3", "0") not in ("0", "", "false")
 
 _INTERPRET = False  # set by tests to run kernels on CPU
 
@@ -84,16 +95,14 @@ def _taps_band(gvals, cols, cin):
     return gm, g0 * f0.astype(jnp.bfloat16), gp
 
 
-def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
-                  feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, *,
-                  i, g, n_steps, tile, band, chunkw, cin, c3p, n_groups=3,
-                  pack2=False):
-    """Gather the three δy pairs of δz-group `g` for tile `i` and store the
-    masked tap blocks into `stacked` (rows ordered (pair, tap, channel)).
-
-    row3: [3, T] packed rulebook rows for pairs 3g..3g+2.
-    Window for step s=(i·3+g) was DMA'd into wbuf[s%2] by the previous
-    step; this step prefetches step s+1's window.
+def _gather_bands(bstarts_ref, bounds_ref, sflags_ref, row3, feat_ref,
+                  wslice, stacked, obuf, gacc, osem, *, step, ws, tile, band,
+                  chunkw, cin, c3p, pack2=False):
+    """Band-gather phases for ONE δz-group whose window is already resident
+    in `wslice` (starting at input row `ws`): phase-1 one-hot matmuls into
+    gacc slots, phase-2 flag-masked tap stores into `stacked`, plus the
+    rare per-step escape fallback. Shared by the (tile, group) grid and the
+    group-merged grid.
 
     The per-band body is BRANCHLESS: each band does ONE [2·band, 128]
     one-hot matmul against a double-width window slice — rows outside the
@@ -106,28 +115,8 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
     per-STEP flag saying whether ANY band of the step escapes its slice;
     the whole fallback pass sits behind that single scalar branch and
     reruns only the escaping bands (p99+ of steps skip it entirely)."""
-    step = i * n_groups + g
-    cur = jax.lax.rem(step, 2)
     nb = tile // 128
     cover = 2 * band
-
-    def win_dma(slot, start):
-        start = pl.multiple_of(start, 16)
-        return pltpu.make_async_copy(
-            feat_ref.at[pl.ds(start, chunkw), :], wbuf.at[slot], wsems.at[slot]
-        )
-
-    @pl.when(step == 0)
-    def _():
-        win_dma(0, wstarts_ref[0]).start()
-
-    @pl.when(step + 1 < n_steps)
-    def _():
-        win_dma(1 - cur, wstarts_ref[step + 1]).start()
-
-    ws = wstarts_ref[step]
-    win_dma(cur, ws).wait()
-
     q_ids = jax.lax.broadcasted_iota(jnp.int32, (cover, 128), 0)
 
     def band_scalars(j, b):
@@ -178,7 +167,7 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
                 # the column is zero — no masking branch needed
                 rel = pos_b - (ws + off)
                 oh = (q_ids == rel).astype(jnp.bfloat16)
-                wband = wbuf[cur, pl.ds(off, cover), :]
+                wband = wslice[pl.ds(off, cover), :]
                 gacc[j * nb + b] = jax.lax.dot_general(
                     wband, oh, (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -227,6 +216,41 @@ def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
                     store_taps(j, b, cols)
 
 
+def _gather_group(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, row3,
+                  feat_ref, stacked, wbuf, obuf, gacc, wsems, osem, *,
+                  i, g, n_steps, tile, band, chunkw, cin, c3p, n_groups=3,
+                  pack2=False):
+    """Gather the three δy pairs of δz-group `g` for tile `i` and store the
+    masked tap blocks into `stacked` (rows ordered (pair, tap, channel)).
+
+    Window for step s=(i·G+g) was DMA'd into wbuf[s%2] by the previous
+    step; this step prefetches step s+1's window. Band phases in
+    `_gather_bands`."""
+    step = i * n_groups + g
+    cur = jax.lax.rem(step, 2)
+
+    def win_dma(slot, start):
+        start = pl.multiple_of(start, 16)
+        return pltpu.make_async_copy(
+            feat_ref.at[pl.ds(start, chunkw), :], wbuf.at[slot], wsems.at[slot]
+        )
+
+    @pl.when(step == 0)
+    def _():
+        win_dma(0, wstarts_ref[0]).start()
+
+    @pl.when(step + 1 < n_steps)
+    def _():
+        win_dma(1 - cur, wstarts_ref[step + 1]).start()
+
+    ws = wstarts_ref[step]
+    win_dma(cur, ws).wait()
+    _gather_bands(bstarts_ref, bounds_ref, sflags_ref, row3, feat_ref,
+                  wbuf.at[cur], stacked, obuf, gacc, osem, step=step, ws=ws,
+                  tile=tile, band=band, chunkw=chunkw, cin=cin, c3p=c3p,
+                  pack2=pack2)
+
+
 # ---------------------------------------------------------------------------
 # forward / d_features kernel:  out[v] = Σ_p Σ_δ found·f[row(p,δ,v)] @ W[p,δ]
 # ---------------------------------------------------------------------------
@@ -261,6 +285,61 @@ def _fwd_kernel(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref, packed_ref,
     )  # [T, O]
     if emit:
         st_out_ref[:] = stacked[:]
+
+
+def _fwd_kernel_g3(wstarts_ref, bstarts_ref, bounds_ref, sflags_ref,
+                   packed_ref, w_ref, feat_ref, out_ref, *rest, cin: int,
+                   band: int, chunkw: int, c3p: int, n_steps: int,
+                   n_groups: int = 3, pack2: bool = False,
+                   emit: bool = False):
+    """Group-merged forward: one grid step processes ALL δz-groups of a
+    tile. The (tile, group) grid pays a ~2.6 µs fixed cost per step
+    (pipeline bubbles, branch setup, window-DMA wait chains — the s0 conv's
+    705 steps ran at that floor in the round-3 device trace); merging the
+    groups cuts the step count 3× at the price of G-buffered windows.
+    Gated to cin ≤ 64 where the extra window VMEM fits comfortably."""
+    if emit:
+        st_out_ref, wbuf, obuf, gacc, stacked, wsems, osem = rest
+    else:
+        wbuf, obuf, gacc, stacked, wsems, osem = rest
+    i = pl.program_id(0)
+    nt = n_steps // n_groups
+    tile = out_ref.shape[0]
+    cur = jax.lax.rem(i, 2)
+
+    def win_dma(slot, g, start):
+        start = pl.multiple_of(start, 16)
+        return pltpu.make_async_copy(
+            feat_ref.at[pl.ds(start, chunkw), :], wbuf.at[slot, g],
+            wsems.at[slot, g],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        for g in range(n_groups):
+            win_dma(0, g, wstarts_ref[g]).start()
+
+    @pl.when(i + 1 < nt)
+    def _():
+        for g in range(n_groups):
+            win_dma(1 - cur, g, wstarts_ref[(i + 1) * n_groups + g]).start()
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+    for g in range(n_groups):
+        step = i * n_groups + g
+        ws = wstarts_ref[step]
+        win_dma(cur, g, ws).wait()
+        _gather_bands(bstarts_ref, bounds_ref, sflags_ref, packed_ref[g],
+                      feat_ref, wbuf.at[cur, g], stacked, obuf, gacc, osem,
+                      step=step, ws=ws, tile=tile, band=band, chunkw=chunkw,
+                      cin=cin, c3p=c3p, pack2=pack2)
+        wsl = pl.multiple_of(g * 9 * cin, 16)
+        out_ref[:] += jax.lax.dot_general(
+            stacked[:], w_ref[pl.ds(wsl, 9 * cin), :], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, O]
+        if emit:
+            st_out_ref[pl.ds(wsl, 9 * cin), :] = stacked[:]
 
 
 def _feat3(features: jax.Array, vpad: int, pack2: bool = False) -> jax.Array:
@@ -483,37 +562,63 @@ def fused_gather_gemm(
     c3p = feat3.shape[1]
     n_steps = (vt // tile) * n_groups
 
-    out_specs = pl.BlockSpec((tile, cout), lambda i, g, *_: (i, 0))
+    # group-merged grid: 3× fewer steps (per-step fixed cost floor); VMEM
+    # gate — the G window buffers only fit comfortably at narrow channels
+    g3 = _G3 and cin <= 64 and n_groups >= 2
     out_shape = jax.ShapeDtypeStruct((vt, cout), jnp.float32)
+    if g3:
+        out_specs = pl.BlockSpec((tile, cout), lambda i, *_: (i, 0))
+        if emit_stacked:
+            out_specs = [
+                out_specs,
+                pl.BlockSpec(
+                    (n_groups * 9 * cin, tile), lambda i, *_: (0, i)
+                ),
+            ]
+        grid = (vt // tile,)
+        packed_spec = pl.BlockSpec(
+            (n_groups, 3, tile), lambda i, *_: (0, 0, i)
+        )
+        wbuf_shape = pltpu.VMEM((2, n_groups, chunkw, c3p), jnp.bfloat16)
+        wsem_shape = pltpu.SemaphoreType.DMA((2, n_groups))
+        kern = _fwd_kernel_g3
+    else:
+        out_specs = pl.BlockSpec((tile, cout), lambda i, g, *_: (i, 0))
+        if emit_stacked:
+            out_specs = [
+                out_specs,
+                pl.BlockSpec((9 * cin, tile), lambda i, g, *_: (g, i)),
+            ]
+        grid = (vt // tile, n_groups)
+        packed_spec = pl.BlockSpec((1, 3, tile), lambda i, g, *_: (g, 0, i))
+        wbuf_shape = pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16)
+        wsem_shape = pltpu.SemaphoreType.DMA((2,))
+        kern = _fwd_kernel
     if emit_stacked:
-        out_specs = [
-            out_specs,
-            pl.BlockSpec((9 * cin, tile), lambda i, g, *_: (g, i)),
-        ]
         out_shape = [
             out_shape,
             jax.ShapeDtypeStruct((n_groups * 9 * cin, vt), jnp.bfloat16),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(vt // tile, n_groups),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, tile), lambda i, g, *_: (g, 0, i)),
+            packed_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights [P·3·C, O]
             pl.BlockSpec(memory_space=pl.ANY),  # feat3 stays in HBM
         ],
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, chunkw, c3p), jnp.bfloat16),
+            wbuf_shape,
             pltpu.VMEM((2 * band, c3p), jnp.bfloat16),
             pltpu.VMEM((3 * (tile // 128), c3p, 128), jnp.float32),
             pltpu.VMEM((9 * cin, tile), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            wsem_shape,
             pltpu.SemaphoreType.DMA,
         ],
     )
     res = pl.pallas_call(
-        functools.partial(_fwd_kernel, cin=cin, band=band, chunkw=chunkw,
+        functools.partial(kern, cin=cin, band=band, chunkw=chunkw,
                           c3p=c3p, n_steps=n_steps, n_groups=n_groups,
                           pack2=pack2, emit=emit_stacked),
         grid_spec=grid_spec,
@@ -823,6 +928,66 @@ def _rank_kernel_seq(seeds_ref, rowmax_ref, qT_ref, keys_ref, out_ref, wpos,
         wpos[0] = rstar
 
 
+def _rank_kernel_seq4(seeds_ref, rowmax_ref, qT_ref, keys_ref, out_ref, wpos,
+                      aacc, *, nb: int, nt: int, kr4: int):
+    """`_rank_kernel_seq` with a 4×128-lane (512-key) super-chunk body: the
+    while loop that dominated the rank kernels' runtime (~36 ms/step of the
+    round-3 device trace was merge_rank_flags calls; most bands scan 2-3
+    128-key chunks, each paying scalar loop control + a [128,128] VMEM
+    accumulator round-trip) now usually runs ONE iteration, compares
+    [128, 512] wide, and accumulates [128, 1] reductions instead of raw
+    compare planes. Window-skip correctness relies on strictly-increasing
+    valid queries per pair (distinct voxel/site keys + constant Δ), same as
+    the 128-wide variant."""
+    t = pl.program_id(0)
+
+    @pl.when(jax.lax.rem(t, nt) == 0)
+    def _():
+        wpos[0] = seeds_ref[t // nt]
+
+    for b in range(nb):
+        q = qT_ref[0, :, b : b + 1]  # [128, 1]
+        qm1 = q - 1
+        qp1 = q + 1
+        qmax = qT_ref[0, 127, b]  # queries sorted: lane 127 is the band max
+        qmax2 = qmax + 2
+        start = wpos[0]
+
+        def cond(carry, start=start, qmax2=qmax2):
+            r, _, _ = carry
+            prev_ok = (rowmax_ref[jnp.maximum(r - 1, 0)] < qmax2) & (
+                rowmax_ref[jnp.maximum(r - 1, 0)] < _CLAMP_Q
+            )
+            return (r < kr4) & ((r == start) | prev_ok)
+
+        aacc[0] = jnp.zeros((128, 1), jnp.int32)
+        aacc[1] = jnp.zeros((128, 1), jnp.int32)
+
+        def body(carry, q=q, qm1=qm1, qp1=qp1, qmax=qmax):
+            r, rstar, seen = carry
+            k = keys_ref[pl.ds(r, 1), :]  # [1, 512]
+            lt = (k < q).astype(jnp.int32)
+            eq = (
+                (k == qm1).astype(jnp.int32)
+                + jnp.where(k == q, 1 << 10, 0)
+                + jnp.where(k == qp1, 1 << 20, 0)
+            )
+            aacc[0] += jnp.sum(lt, axis=1, keepdims=True)
+            aacc[1] += jnp.sum(eq, axis=1, keepdims=True)
+            hit = rowmax_ref[r] >= qmax
+            rstar = jnp.where(seen | ~hit, rstar, r)
+            return r + 1, rstar, seen | hit
+
+        _, rstar, _ = jax.lax.while_loop(cond, body, (start, kr4 - 1, False))
+        cnt = start * 512 + aacc[0]  # [128, 1]
+        es = aacc[1]
+        fm = jnp.minimum(es & 1023, 1)
+        f0 = jnp.minimum((es >> 10) & 1023, 1)
+        fp = jnp.minimum((es >> 20) & 1023, 1)
+        out_ref[0, :, b : b + 1] = cnt * 8 + fm * 4 + f0 * 2 + fp
+        wpos[0] = rstar
+
+
 @functools.partial(jax.jit, static_argnames=("nb", "seq"))
 def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
                      seq: bool = True):
@@ -853,12 +1018,54 @@ def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
     nbands = vqp // 128
     qT = qp.reshape(p, nt, nb, 128).transpose(0, 1, 3, 2).reshape(p * nt, 128, nb)
 
-    if seq:
+    if seq and _RANK_IMPL == "seq4":
+        # 512-key super-chunks: most bands resolve in ONE while iteration
+        kr4 = _cdiv(vk, 512)
+        keys2d4 = jnp.pad(
+            keys_c, (0, kr4 * 512 - vk), constant_values=_CLAMP_Q
+        ).reshape(kr4, 512)
+        flat = keys2d4.reshape(-1)
+        # −1: when the first query's insertion position is an exact chunk
+        # multiple, its q−1 neighbor key sits at position−1 in the PREVIOUS
+        # chunk — start one key earlier so the flag can't be missed
+        seeds = (
+            jnp.maximum(
+                jnp.searchsorted(flat, qp[:, 0], side="left").astype(jnp.int32)
+                - 1,
+                0,
+            )
+            // 512
+        )
+        rowmax = keys2d4[:, 511]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(p * nt,),
+            in_specs=[
+                pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+                pl.BlockSpec(memory_space=pltpu.VMEM),  # keys2d4 resident
+            ],
+            out_specs=pl.BlockSpec((1, 128, nb), lambda i, *_: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.VMEM((2, 128, 1), jnp.int32),
+            ],
+        )
+        out = pl.pallas_call(
+            functools.partial(_rank_kernel_seq4, nb=nb, nt=nt, kr4=kr4),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((p * nt, 128, nb), jnp.int32),
+            interpret=_INTERPRET,
+        )(seeds, rowmax, qT, keys2d4)
+    elif seq:
         flat = keys2d.reshape(-1)
         seeds = (
-            jnp.searchsorted(flat, qp[:, 0], side="left").astype(jnp.int32)
+            jnp.maximum(
+                jnp.searchsorted(flat, qp[:, 0], side="left").astype(jnp.int32)
+                - 1,
+                0,
+            )
             // 128
-        )  # [p] — one scalar per pair
+        )  # [p] — one scalar per pair (−1: see seq4 note on the q−1 flag)
         rowmax = keys2d[:, 127]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -891,7 +1098,7 @@ def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
         nxt = jnp.concatenate(
             [pos[:, 1:], jnp.full((p, 1), kr * 128 - 1, jnp.int32)], axis=1
         )
-        wrow = pos // 128
+        wrow = jnp.maximum(pos - 1, 0) // 128  # −1: see the seq4 q−1 note
         last = jnp.minimum((nxt + 1) // 128, kr - 1)
         nrows = jnp.maximum(last - wrow + 1, 1)
         grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -168,3 +168,84 @@ def test_strided_conv_packed_matches_xla(ks, stride, pad, kw3, cout):
         S.set_compute_dtype(jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(gf_p), np.asarray(gf_x), rtol=3e-2, atol=3e-2)
     np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_x), rtol=3e-2, atol=3e-2)
+
+
+def _rank_oracle(keys, queries):
+    """numpy searchsorted + membership reference for merge_rank_flags."""
+    kv = np.asarray(keys)
+    kv = kv[kv < PK.INVALID_Q]
+    out = np.zeros(queries.shape, np.int32)
+    kset = set(kv.tolist())
+    for pi in range(queries.shape[0]):
+        for vi in range(queries.shape[1]):
+            q = int(queries[pi, vi])
+            if q >= PK.INVALID_Q:
+                # padding: only pos is meaningful
+                out[pi, vi] = len(kv) * 8
+                continue
+            cnt = int(np.searchsorted(kv, q, side="left"))
+            out[pi, vi] = (
+                cnt * 8
+                + ((q - 1) in kset) * 4
+                + (q in kset) * 2
+                + ((q + 1) in kset)
+            )
+    return out
+
+
+@pytest.mark.parametrize("impl", ["seq", "seq4"])
+def test_merge_rank_flags_impls(impl, monkeypatch):
+    monkeypatch.setattr(PK, "_RANK_IMPL", impl)
+    rs = np.random.RandomState(3)
+    n = 700
+    keys = np.unique(rs.randint(0, 5000, n).astype(np.int32))
+    keys = np.pad(keys, (0, n - len(keys)), constant_values=PK._CLAMP_Q)
+    # strictly-increasing valid queries per pair (the kernel's contract)
+    base = np.sort(rs.choice(6000, 600, replace=False)).astype(np.int32)
+    queries = np.stack([base, base + 37, np.minimum(base + 1111, PK._CLAMP_Q)])
+    got = np.asarray(PK.merge_rank_flags(jnp.asarray(keys), jnp.asarray(queries)))
+    want = _rank_oracle(keys, queries)
+    valid = queries < PK.INVALID_Q
+    np.testing.assert_array_equal(got[valid], want[valid])
+    # pos monotone everywhere (incl. padding)
+    assert (np.diff(got >> 3, axis=1) >= 0).all()
+
+
+@pytest.mark.parametrize("impl", ["seq", "seq4"])
+def test_merge_rank_flags_chunk_boundary_qm1(impl, monkeypatch):
+    """The q−1 neighbor of a pair's FIRST query sits at insertion
+    position−1: when that position is an exact chunk multiple the key lives
+    in the previous chunk — the seed must start one key early."""
+    monkeypatch.setattr(PK, "_RANK_IMPL", impl)
+    for chunk in (128, 512):
+        # keys 0..chunk-1 occupy exactly the first chunk(s); first query is
+        # `chunk` → insertion position == chunk (a chunk multiple), and key
+        # chunk−1 (= q−1) is the last element of the previous chunk
+        keys = np.arange(chunk, dtype=np.int32)
+        keys = np.pad(keys, (0, 64), constant_values=PK._CLAMP_Q)
+        queries = (np.arange(64, dtype=np.int32) * 2 + chunk)[None]
+        got = np.asarray(
+            PK.merge_rank_flags(jnp.asarray(keys), jnp.asarray(queries))
+        )
+        want = _rank_oracle(keys, queries)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_g3_grid_matches_default(monkeypatch):
+    """Group-merged forward grid (EFG_SPARSE_G3) must be bit-identical to
+    the (tile, group) grid, incl. the emitted stacked tap buffer."""
+    st, feats = _make_sparse(seed=5, n=180, cap=256)
+    rs = np.random.RandomState(5)
+    cin, cout = 16, 16
+    f = jnp.asarray(rs.randn(st.capacity, cin).astype(np.float32))
+    f = f * st.valid[:, None]
+    w = _rand_weights(rs, 27, cin, cout)
+    rule = PK.prep_rulebook(PK.build_monotone_rule9(st, 3), st.capacity, cin)
+    w2d = w.reshape(27 * cin, cout)
+
+    monkeypatch.setattr(PK, "_G3", False)
+    out_ref, st_ref = PK.fused_gather_gemm(f, rule, w2d, emit_stacked=True)
+    monkeypatch.setattr(PK, "_G3", True)
+    out_g3, st_g3 = PK.fused_gather_gemm(f, rule, w2d, emit_stacked=True)
+    np.testing.assert_array_equal(np.asarray(out_g3), np.asarray(out_ref))
+    np.testing.assert_array_equal(np.asarray(st_g3), np.asarray(st_ref))
