@@ -41,8 +41,12 @@ class MaskedBatchNorm(nn.Module):
             m = mask.astype(jnp.float32)[:, None]
             cnt = jnp.maximum(m.sum(), 1.0)
             xf = x.astype(jnp.float32)
-            mean = (xf * m).sum(axis=0) / cnt
-            var = (((xf - mean) ** 2) * m).sum(axis=0) / cnt
+            # E[x²]−E[x]² so both reductions fuse into ONE pass over the
+            # (lane-padded) rows — the two-pass (x−mean)² form re-read the
+            # whole array; fine in f32 at BN-scale magnitudes
+            xm = xf * m
+            mean = xm.sum(axis=0) / cnt
+            var = jnp.maximum((xm * xf).sum(axis=0) / cnt - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var

@@ -385,7 +385,12 @@ def _prep(packed, v_pos, tile, band, chunkw, pos_shift=3):
         )
     nb = tile // 128
     nt = vt // tile
-    pos128 = (packed[:, ::128] >> pos_shift)  # [P, vt/128]
+    # lane-0 extraction as a masked reduce: the literal strided slice
+    # packed[:, ::128] lowers to a lane-granular gather (~2 ms per prep at
+    # s0 scale in the device trace); a full-read masked max vectorizes
+    p3 = packed.reshape(packed.shape[0], -1, 128)
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2) == 0
+    pos128 = jnp.max(jnp.where(lane0, p3, 0), axis=-1) >> pos_shift
     bstarts = (pos128 // 16) * 16  # [P, nT*nb]
     # per-band found flag (bit 0 of the encoded start)
     flags = (
@@ -1145,15 +1150,40 @@ def build_monotone_rule9(st, kernel_size: int = 3) -> jax.Array:
     # negative Δ keeps the query ≥ INVALID_Q (still treated as padding)
     key_base = jnp.where(st.valid, st.keys, _CLAMP_Q)
     queries, masks = [], []
+    center = None
     for dz in range(-(kd - 1) // 2, (kd - 1) // 2 + 1):
         for dy in range(-(kh - 1) // 2, (kh - 1) // 2 + 1):
             delta = (dz * h + dy) * w
             nz = st.coords[:, 1] + dz
             ny = st.coords[:, 2] + dy
             ok0 = st.valid & (nz >= 0) & (nz < d) & (ny >= 0) & (ny < h)
+            if delta == 0:
+                center = len(queries)
             queries.append(key_base + delta)
             masks.append(ok0)
-    packed = merge_rank_flags(st.keys, jnp.stack(queries))  # [P, V]
+    if center is not None:
+        # the (δz=0, δy=0) pair queries the keys themselves — its row is
+        # analytic (keys distinct + sorted): pos = iota, middle tap = self,
+        # x±1 taps = adjacent sorted key differs by exactly 1. Saves 1/9 of
+        # the rank-kernel work; pos=iota on padding rows is wrong-but-
+        # monotone, which only widens a window (flags there are masked).
+        v = st.keys.shape[0]
+        iota = jnp.arange(v, dtype=jnp.int32)
+        km = jnp.concatenate([jnp.full((1,), -9, jnp.int32), key_base[:-1]])
+        kp = jnp.concatenate([key_base[1:], jnp.full((1,), -9, jnp.int32)])
+        row_c = (
+            iota * 8
+            + (key_base - km == 1) * 4
+            + st.valid.astype(jnp.int32) * 2
+            + (kp - key_base == 1)
+        )
+        others = queries[:center] + queries[center + 1 :]
+        packed8 = merge_rank_flags(st.keys, jnp.stack(others))
+        packed = jnp.concatenate(
+            [packed8[:center], row_c[None], packed8[center:]], axis=0
+        )
+    else:
+        packed = merge_rank_flags(st.keys, jnp.stack(queries))  # [P, V]
     ok0 = jnp.stack(masks)
     okm = (ok0 & (x - 1 >= 0)[None]).astype(jnp.int32)
     okp = (ok0 & (x + 1 < w)[None]).astype(jnp.int32)
