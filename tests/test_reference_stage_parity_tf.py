@@ -30,6 +30,14 @@ REF_DIR = (
 @pytest.fixture(scope="module")
 def ref():
     sys.path.insert(0, REF_DIR)
+    # several reference playground dirs ship a package named `modules`;
+    # evict any cached one (e.g. ConQueR's, loaded by the detr parity test)
+    # so `from modules.utils import ...` resolves against THIS experiment
+    saved = {
+        k: sys.modules.pop(k)
+        for k in list(sys.modules)
+        if k == "modules" or k.startswith("modules.")
+    }
     try:
         import importlib.util
 
@@ -41,6 +49,10 @@ def ref():
         return mod
     finally:
         sys.path.remove(REF_DIR)
+        for k in list(sys.modules):
+            if k == "modules" or k.startswith("modules."):
+                del sys.modules[k]
+        sys.modules.update(saved)
 
 
 def _boxes(rs, n):
