@@ -1,6 +1,12 @@
 """Benchmark: CenterPoint VoxelNet training throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...}. The
+PRIMARY measurement (CenterPoint bs=2, warm-cache config) is printed and
+flushed IMMEDIATELY after it completes; optional upgrades (bs=4, the
+ConQueR secondary metric) run afterwards under a wall-clock budget
+(`BENCH_TIME_BUDGET`, seconds) and each print a fresh SUPERSET line —
+so whichever line is last, the primary metric is present and a mid-run
+hang can never erase an already-taken measurement.
 
 The measured number is training frames/sec/chip at Waymo scale (160k-point
 clouds, 120k voxel cap, 0.1×0.1×0.15 voxels over ±75.2 m, full
@@ -15,6 +21,8 @@ from __future__ import annotations
 
 import functools
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -35,6 +43,32 @@ import numpy as np
 # s/step and achieved model TFLOP/s so progress is measurable
 # independently of this constant.
 A100_REF_FPS = 20.0
+
+_T_START = time.monotonic()
+# Wall-clock budget for OPTIONAL upgrades after the primary metric is
+# banked. The driver's bench timeout killed round 3 mid-compile; keep the
+# default comfortably below any plausible external timeout.
+TIME_BUDGET = float(os.environ.get("BENCH_TIME_BUDGET", "2100"))
+
+
+def _remaining() -> float:
+    return TIME_BUDGET - (time.monotonic() - _T_START)
+
+
+def _emit(fps: float, extras: dict) -> None:
+    """Print ONE full JSON line (primary metric + extras) and flush."""
+    print(
+        json.dumps(
+            {
+                "metric": "centerpoint_waymo_train_frames_per_sec_per_chip",
+                "value": round(fps, 3),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / A100_REF_FPS, 3),
+                **extras,
+            }
+        ),
+        flush=True,
+    )
 
 
 def bench_conquer(n_iters: int = 12):
@@ -128,8 +162,6 @@ def bench_conquer(n_iters: int = 12):
 
 
 def main():
-    import os
-
     import jax
 
     # persistent compile cache: the full-scale step takes minutes to build
@@ -140,22 +172,16 @@ def main():
 
     import __graft_entry__ as ge
 
-    # bs=4 amortizes per-step fixed costs (dispatch, while-loop setup,
-    # structure builds) over more frames — the reference trains bs=6/GPU
-    # (`centerpoint.waymo...` dataloader), so per-chip f/s at bs=4 is the
-    # fairer comparison. Falls back to bs=2 if the larger batch fails.
-    bs_env = os.environ.get("BENCH_BS")
-    bs_candidates = [int(bs_env)] if bs_env else [4, 2]
-    model, model_cfg, n_points = ge._flagship(bench_scale=True)
-
     import jax.numpy as jnp
     import optax
 
     from efg_tpu.engine.train_state import TrainState
     from efg_tpu.models import centerpoint as CP
 
-    batch = ge._batch(n_points, bsz=bs_candidates[0], pc=70.0)
-    variables = model.init(jax.random.key(0), batch["points"][:1], batch["points_mask"][:1], True)
+    model, model_cfg, n_points = ge._flagship(bench_scale=True)
+
+    batch1 = ge._batch(n_points, bsz=1, pc=70.0)
+    variables = model.init(jax.random.key(0), batch1["points"], batch1["points_mask"], True)
     tx = optax.flatten(optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(3e-3)))
 
     def fresh_state():
@@ -189,7 +215,7 @@ def main():
     # ONE jitted lax.scan and force a scalar value fetch — one roundtrip,
     # honest amortized per-step time. The roundtrip costs ~26 ms per scan
     # call (measured); at n=10 that biased per-step time +2.6 ms, so n=30.
-    n_iters = 30
+    n_iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_n(state, batch):
@@ -200,69 +226,68 @@ def main():
         state, losses = jax.lax.scan(body, state, None, length=n_iters)
         return state, losses[-1]
 
-    # compile once; reuse the executable for warmup + timed run (the state
-    # is donated, so lower/cost-analysis must happen before execution)
-    fps = sec_per_step = model_flops = 0.0
-    bsz = bs_candidates[0]
-    fallback_error = None
-    for bsz in bs_candidates:
+    def measure(bsz):
+        """Compile + warm + time the step at the given batch size.
+        Returns (fps, sec_per_step, model_flops_per_step)."""
+        batch = ge._batch(n_points, bsz=bsz, pc=70.0)
+        state = fresh_state()
+        compiled = run_n.lower(state, batch).compile()
         try:
-            batch = ge._batch(n_points, bsz=bsz, pc=70.0)
-            state = fresh_state()
-            compiled = run_n.lower(state, batch).compile()
-            try:
-                cost = compiled.cost_analysis()
-                if isinstance(cost, (list, tuple)):
-                    cost = cost[0]
-                model_flops = float(cost.get("flops", 0.0)) / n_iters
-            except Exception:
-                model_flops = 0.0
+            cost = compiled.cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            model_flops = float(cost.get("flops", 0.0)) / n_iters
+        except Exception:
+            model_flops = 0.0
+        state, loss = compiled(state, batch)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        state, loss = compiled(state, batch)
+        _ = float(loss)  # device->host fetch = real sync
+        dt = time.perf_counter() - t0
+        return bsz * n_iters / dt, dt / n_iters, model_flops
 
-            state, loss = compiled(state, batch)
-            _ = float(loss)
-
-            t0 = time.perf_counter()
-            state, loss = compiled(state, batch)
-            _ = float(loss)  # device->host fetch = real sync
-            dt = time.perf_counter() - t0
-            fps = bsz * n_iters / dt
-            sec_per_step = dt / n_iters
-            break
-        except Exception as e:
-            if bsz == bs_candidates[-1]:
-                raise
-            # record the fallback so a regression that kills the big batch
-            # can't masquerade as a clean (differently-amortized) bs=2 run
-            fallback_error = f"bs={bsz}: {e!r}"[:200]
-
-    extras = {f"sec_per_step_bs{bsz}": round(sec_per_step, 4), "batch_size": bsz}
-    if fallback_error:
-        extras["fallback_error"] = fallback_error
-    try:
-        flops = model_flops
+    # --- PRIMARY: bs=2 (the config every prior round has cached). Bank it.
+    bs_env = os.environ.get("BENCH_BS")
+    primary_bs = int(bs_env) if bs_env else 2
+    fps, sec_per_step, model_flops = measure(primary_bs)
+    extras = {
+        f"sec_per_step_bs{primary_bs}": round(sec_per_step, 4),
+        "batch_size": primary_bs,
+    }
+    if model_flops:
         extras.update(
-            model_tflops_per_step=round(flops / 1e12, 3),
-            achieved_tflops_per_sec=round(flops / sec_per_step / 1e12, 2),
+            model_tflops_per_step=round(model_flops / 1e12, 3),
+            achieved_tflops_per_sec=round(model_flops / sec_per_step / 1e12, 2),
         )
-    except Exception:
-        pass
-    try:
-        cq_fps, cq_sps = bench_conquer()
-        extras["conquer_frames_per_sec_per_chip"] = round(cq_fps, 3)
-        extras["conquer_sec_per_step_bs2"] = round(cq_sps, 4)
-    except Exception as e:  # never let the secondary metric break the bench
-        extras["conquer_error"] = str(e)[:120]
-    print(
-        json.dumps(
-            {
-                "metric": "centerpoint_waymo_train_frames_per_sec_per_chip",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / A100_REF_FPS, 3),
-                **extras,
-            }
-        )
-    )
+    _emit(fps, extras)
+
+    # --- UPGRADE 1: bs=4 amortizes per-step fixed costs (dispatch,
+    # structure builds) over more frames — the reference trains bs=6/GPU —
+    # but its compile is cold-expensive; only attempt with budget left.
+    if not bs_env and _remaining() > 300:
+        try:
+            fps4, sps4, flops4 = measure(4)
+            extras["sec_per_step_bs4"] = round(sps4, 4)
+            if flops4:
+                extras["bs4_achieved_tflops_per_sec"] = round(flops4 / sps4 / 1e12, 2)
+            if fps4 > fps:
+                fps = fps4
+                extras["batch_size"] = 4
+            _emit(fps, extras)
+        except Exception as e:
+            extras["bs4_error"] = f"{e!r}"[:200]
+            _emit(fps, extras)
+
+    # --- UPGRADE 2: ConQueR secondary metric (BASELINE.json names it).
+    if _remaining() > 300:
+        try:
+            cq_fps, cq_sps = bench_conquer()
+            extras["conquer_frames_per_sec_per_chip"] = round(cq_fps, 3)
+            extras["conquer_sec_per_step_bs2"] = round(cq_sps, 4)
+        except Exception as e:  # never let the secondary metric break the bench
+            extras["conquer_error"] = str(e)[:120]
+        _emit(fps, extras)
 
 
 if __name__ == "__main__":

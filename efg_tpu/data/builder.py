@@ -129,7 +129,7 @@ def collate_fixed(samples: List, max_gt: int) -> Dict[str, Any]:
                     rows.append(pad)
                 batch[key] = np.stack(rows)
     elif "image" in first:
-        imgs, gtb, gtc, gtm, masks = [], [], [], [], []
+        imgs, gtb, gtc, gtm, masks, kpts = [], [], [], [], [], []
         for data, info in samples:
             imgs.append(data["image"])
             anno = info.get("annotations")
@@ -142,6 +142,11 @@ def collate_fixed(samples: List, max_gt: int) -> Dict[str, Any]:
                 pad = np.zeros((max_gt,) + m.shape[1:], np.float32)
                 pad[: min(len(m), max_gt)] = m[:max_gt]
                 masks.append(pad)
+            if anno is not None and anno.get("keypoints") is not None:
+                k = np.asarray(anno["keypoints"], np.float32)
+                pad = np.zeros((max_gt,) + k.shape[1:], np.float32)
+                pad[: min(len(k), max_gt)] = k[:max_gt]
+                kpts.append(pad)
         batch["images"] = np.stack(imgs)
         batch["gt_boxes2d"] = np.stack(gtb)
         batch["gt_classes2d"] = np.stack(gtc)
@@ -150,6 +155,8 @@ def collate_fixed(samples: List, max_gt: int) -> Dict[str, Any]:
             batch["gt_masks"] = np.stack(masks)
             batch["gt_classes_seg"] = batch["gt_classes2d"]
             batch["gt_mask_valid"] = batch["gt_mask2d"]
+        if kpts:
+            batch["gt_keypoints"] = np.stack(kpts)  # [B, G, K, 3]
     else:
         raise ValueError(f"Unknown fixed-shape sample keys: {list(first)}")
     batch["metadata"] = [s[1].get("metadata", {}) for s in samples]

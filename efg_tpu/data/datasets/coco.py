@@ -23,6 +23,42 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+# COCO person-keypoints metadata (reference
+# `efg/data/datasets/coco/builtin_meta.py:157-180`): the 17 keypoint
+# names in annotation order and the left/right pairs exchanged under
+# horizontal flip.
+COCO_PERSON_KEYPOINT_NAMES = (
+    "nose",
+    "left_eye", "right_eye",
+    "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder",
+    "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist",
+    "left_hip", "right_hip",
+    "left_knee", "right_knee",
+    "left_ankle", "right_ankle",
+)
+COCO_PERSON_KEYPOINT_FLIP_MAP = (
+    ("left_eye", "right_eye"),
+    ("left_ear", "right_ear"),
+    ("left_shoulder", "right_shoulder"),
+    ("left_elbow", "right_elbow"),
+    ("left_wrist", "right_wrist"),
+    ("left_hip", "right_hip"),
+    ("left_knee", "right_knee"),
+    ("left_ankle", "right_ankle"),
+)
+
+
+def keypoint_hflip_indices(names=COCO_PERSON_KEYPOINT_NAMES,
+                           flip_map=COCO_PERSON_KEYPOINT_FLIP_MAP) -> np.ndarray:
+    """Permutation applied to the K axis under horizontal flip (reference
+    `efg/data/datasets/coco/utils.py:232-250` `create_keypoint_hflip_indices`)."""
+    fmap = dict(flip_map)
+    fmap.update({v: k for k, v in flip_map})
+    flipped = [fmap.get(n, n) for n in names]
+    return np.asarray([names.index(n) for n in flipped], np.int64)
+
 
 @DATASETS.register()
 class COCODataset(BaseDataset):
@@ -36,6 +72,15 @@ class COCODataset(BaseDataset):
         json_file = root + source[f"{task}_json"]
         self.is_train = config.task == "train"
         self.filter_empty = bool(d.get("filter_empty_annotations", True))
+        # keypoints variant (reference `coco.py:50-51` "keypoints" in the
+        # dataset name → person-keypoint task): emit [N, 17, 3] keypoints
+        # and filter train images below `min_keypoints` visible ones
+        # (d2 `filter_images_with_few_keypoints` semantics)
+        self.keypoints_on = bool(d.get("keypoints_on", False)) or (
+            "keypoints" in os.path.basename(str(source.get(f"{task}_json", "")))
+        )
+        self.min_keypoints = int(d.get("min_keypoints", 1)) if self.is_train else 0
+        self.keypoint_hflip_indices = keypoint_hflip_indices() if self.keypoints_on else None
 
         with open(json_file) as f:
             coco = json.load(f)
@@ -57,6 +102,13 @@ class COCODataset(BaseDataset):
                 a.get("iscrowd", 0) == 0 for a in anns
             ):
                 continue
+            if self.keypoints_on and self.min_keypoints > 0:
+                vis = sum(
+                    sum(1 for v in a.get("keypoints", [])[2::3] if v > 0)
+                    for a in anns if a.get("iscrowd", 0) == 0
+                )
+                if vis < self.min_keypoints:
+                    continue
             self.items.append((img, anns))
 
         self.transforms = build_processors(d.processors[config.task if config.task in d.processors else task])
@@ -95,6 +147,19 @@ class COCODataset(BaseDataset):
                 "areas": np.asarray(areas, np.float64),
             },
         }
+        if self.keypoints_on:
+            K = len(COCO_PERSON_KEYPOINT_NAMES)
+            kpts = np.zeros((len(anns), K, 3), np.float32)
+            for i, a in enumerate(anns):
+                kp = np.asarray(a.get("keypoints", []), np.float32).reshape(-1, 3)
+                if len(kp):
+                    # COCO keypoint coords are pixel indices; +0.5 converts
+                    # to the floating-point coordinate convention
+                    # (reference `coco.py:364-373`)
+                    kp[:, :2] += 0.5
+                    kpts[i, : len(kp)] = kp[:K]
+            info["annotations"]["keypoints"] = kpts
+            info["metadata"]["keypoint_hflip_indices"] = self.keypoint_hflip_indices
         return self._apply_transforms(image, info)
 
 

@@ -47,6 +47,11 @@ def _resize_all(image, info, nh: int, nw: int):
             b[:, [0, 2]] *= sx
             b[:, [1, 3]] *= sy
             anno["boxes2d"] = b
+        if anno.get("keypoints") is not None and len(anno["keypoints"]):
+            kp = np.asarray(anno["keypoints"], np.float32)
+            kp[..., 0] *= sx
+            kp[..., 1] *= sy
+            anno["keypoints"] = kp
         if anno.get("masks") is not None and (nh, nw) != (h, w):
             m = np.asarray(anno["masks"])
             anno["masks"] = np.stack(
@@ -73,6 +78,18 @@ def _crop_all(image, info, x0: int, y0: int, cw: int, ch: int):
             b[:, [0, 2]] -= x0
             b[:, [1, 3]] -= y0
             anno["boxes2d"] = b
+        if anno.get("keypoints") is not None and len(anno["keypoints"]):
+            kp = np.asarray(anno["keypoints"], np.float32)
+            kp[..., 0] -= x0
+            kp[..., 1] -= y0
+            # keypoints cropped away become unlabeled (d2
+            # `annotations_to_instances` out-of-boundary semantics)
+            inside = (
+                (kp[..., 0] >= 0) & (kp[..., 0] <= cw)
+                & (kp[..., 1] >= 0) & (kp[..., 1] <= ch)
+            )
+            kp[..., 2] = np.where(inside, kp[..., 2], 0.0)
+            anno["keypoints"] = kp
         if anno.get("masks") is not None and len(anno["masks"]):
             anno["masks"] = np.asarray(anno["masks"])[:, y0 : y0 + ch, x0 : x0 + cw]
         if anno.get("sem_seg") is not None:
@@ -114,6 +131,16 @@ def _flip_all(image, info, horizontal: bool):
                 anno["masks"] = np.asarray(anno["masks"])[:, :, ::-1]
             if anno.get("sem_seg") is not None:
                 anno["sem_seg"] = anno["sem_seg"][:, ::-1]
+            if anno.get("keypoints") is not None and len(anno["keypoints"]):
+                kp = np.asarray(anno["keypoints"], np.float32)
+                kp[..., 0] = w - kp[..., 0]
+                # left/right keypoints swap under hflip (d2
+                # `create_keypoint_hflip_indices` semantics); the dataset
+                # places the permutation in metadata
+                flip_idx = (info.get("metadata") or {}).get("keypoint_hflip_indices")
+                if flip_idx is not None:
+                    kp = kp[:, np.asarray(flip_idx)]
+                anno["keypoints"] = kp
     else:
         image = image[::-1]
         if anno is not None:
@@ -121,6 +148,10 @@ def _flip_all(image, info, horizontal: bool):
                 b = np.asarray(anno["boxes2d"], np.float32)
                 b[:, [1, 3]] = h - b[:, [3, 1]]
                 anno["boxes2d"] = b
+            if anno.get("keypoints") is not None and len(anno["keypoints"]):
+                kp = np.asarray(anno["keypoints"], np.float32)
+                kp[..., 1] = h - kp[..., 1]
+                anno["keypoints"] = kp
             if anno.get("masks") is not None and len(anno["masks"]):
                 anno["masks"] = np.asarray(anno["masks"])[:, ::-1]
             if anno.get("sem_seg") is not None:
@@ -359,7 +390,7 @@ class RasterizeMasks(AugmentationBase):
         if masks is not None:
             masks = np.asarray(masks)
             keep = masks.reshape(len(masks), -1).any(axis=1) if len(masks) else np.zeros(0, bool)
-            for key in ("boxes2d", "classes", "iscrowd", "areas"):
+            for key in ("boxes2d", "classes", "iscrowd", "areas", "keypoints"):
                 if key in anno and len(anno[key]) == len(keep):
                     anno[key] = np.asarray(anno[key])[keep]
             masks = masks[keep]
@@ -392,4 +423,15 @@ class PadImage(AugmentationBase):
         ch, cw = min(h, self.height), min(w, self.width)
         out[:ch, :cw] = image[:ch, :cw]
         info.setdefault("metadata", {})["image_size"] = (ch, cw)
+        anno = info.get("annotations")
+        if anno is not None and anno.get("keypoints") is not None and len(anno["keypoints"]):
+            # keypoints outside the visible canvas are unlabeled (d2
+            # `annotations_to_instances` out-of-boundary semantics)
+            kp = np.asarray(anno["keypoints"], np.float32)
+            inside = (
+                (kp[..., 0] >= 0) & (kp[..., 0] <= cw)
+                & (kp[..., 1] >= 0) & (kp[..., 1] <= ch)
+            )
+            kp[..., 2] = np.where(inside, kp[..., 2], 0.0)
+            anno["keypoints"] = kp
         return dict(image=out), info

@@ -250,6 +250,138 @@ class FilterByRangeCenter(_FilterBase):
 
 
 @PROCESSORS.register()
+class FilterByRangeXY(_FilterBase):
+    """BEV-xy-only GT filter (reference `extend_3d.py:328-331`): keeps a
+    box when its center xy lies inside the range, ignoring z."""
+
+    box_filter = staticmethod(G.mask_points_by_range_bev)
+
+
+@PROCESSORS.register()
+class GTDrop(AugmentationBase):
+    """Randomly drop a sampled fraction of GT boxes AND the points inside
+    them (reference `extend_3d.py:510-530`): ratio ~ U[ratio[0], ratio[1]],
+    each box kept with prob 1-ratio; points inside dropped boxes removed."""
+
+    def __init__(self, ratio=(0.0, 0.2)):
+        self._init(locals())
+
+    def __call__(self, points, info):
+        assert "annotations" in info
+        gt_boxes = info["annotations"]["gt_boxes"]
+        ratio = np.random.uniform(self.ratio[0], self.ratio[1])
+        keep = np.random.random(gt_boxes.shape[0]) >= ratio
+        _dict_select(info["annotations"], keep)
+        drop_boxes = gt_boxes[~keep]
+        if len(drop_boxes):
+            inside = G.points_in_rbbox(points, np.nan_to_num(drop_boxes))
+            points = points[~inside.any(-1)]
+        return points, info
+
+
+@PROCESSORS.register()
+class GTDropByCat(AugmentationBase):
+    """Per-category GTDrop (reference `extend_3d.py:463-507`): category i
+    drops with ratio ~ U[ratio[0], ratio[1][i]]; boxes of unlisted
+    categories are dropped entirely (reference semantics: the kept mask is
+    the union of per-category keeps)."""
+
+    def __init__(self, ratio=(0.0, (0.2,) * 10),
+                 categories=("car", "truck", "construction_vehicle", "bus",
+                             "trailer", "barrier", "motorcycle", "bicycle",
+                             "pedestrian", "traffic_cone")):
+        self._init(locals())
+
+    def __call__(self, points, info):
+        assert "annotations" in info
+        gt_boxes = info["annotations"]["gt_boxes"]
+        gt_names = info["annotations"]["gt_names"]
+        keep = np.zeros(gt_names.shape[0], dtype=bool)
+        for cati, cat in enumerate(self.categories):
+            cat_idx = np.nonzero(gt_names == cat)[0]
+            cat_ratio = np.random.uniform(self.ratio[0], self.ratio[1][cati])
+            cat_keep = np.random.random(cat_idx.shape[0]) >= cat_ratio
+            keep[cat_idx[cat_keep]] = True
+        _dict_select(info["annotations"], keep)
+        drop_boxes = gt_boxes[~keep]
+        if len(drop_boxes):
+            inside = G.points_in_rbbox(points, np.nan_to_num(drop_boxes))
+            points = points[~inside.any(-1)]
+        return points, info
+
+
+@PROCESSORS.register()
+class RandomCropPoints(AugmentationBase):
+    """BEV square crop + rescale to the original extent (reference
+    `extend_3d.py:330-454`): sample a square crop window inside the BEV
+    range, drop points/GT outside it, re-center, then scale x/y (and box
+    dims/velocities) back up to the full range. Crop types follow the
+    reference (which forces square crops): "relative" (h*ch),
+    "relative_range" (ch ~ U[crop_size[0], 1]), "absolute" (min(cs, h)),
+    "absolute_range" (ch ~ U[cs0, min(h, cs1)] — the reference's
+    `np.random.rand(lo, hi)` call is a bug; the docstring semantics are
+    implemented here)."""
+
+    def __init__(self, crop_type, crop_size, pc_range, p=0.5):
+        assert crop_type in ("relative_range", "relative", "absolute", "absolute_range")
+        self._init(locals())
+
+    def _crop_size(self, h):
+        if self.crop_type == "relative":
+            return h * self.crop_size[0]
+        if self.crop_type == "relative_range":
+            c = float(self.crop_size[0])
+            return h * (c + np.random.rand() * (1 - c))
+        if self.crop_type == "absolute":
+            return min(self.crop_size[0], h)
+        # absolute_range
+        assert self.crop_size[0] <= self.crop_size[1]
+        return np.random.uniform(min(h, self.crop_size[0]), min(h, self.crop_size[1]))
+
+    def __call__(self, points, info):
+        if self._rand_range() > self.p:
+            return points, info
+        pc = np.asarray(self.pc_range, np.float64)
+        h = float(pc[3] - pc[0])
+        w = float(pc[4] - pc[1])
+        assert h == w, "Only square BEV ranges supported (reference constraint)."
+        ch = float(self._crop_size(h))
+        # crop center in [0, h) coordinates (reference: randint + ch/2)
+        x0 = np.random.randint(int(h - ch) + 1) + ch / 2
+        y0 = np.random.randint(int(w - ch) + 1) + ch / 2
+        center_offset = np.array([x0 - h / 2, y0 - w / 2], np.float64)
+
+        if "annotations" in info:
+            boxes = info["annotations"]["gt_boxes"]
+            boxes[:, :2] -= center_offset
+            keep = G.mask_boxes_outside_range_bev_z_bound(
+                boxes, np.array([-ch / 2, -ch / 2, -1e3, ch / 2, ch / 2, 1e3])
+            )
+            _dict_select(info["annotations"], keep)
+
+        # crop points: shift into [0, h) frame, window, shift back + recenter
+        q = points[:, :2] - pc[:2]
+        m = (
+            (q[:, 0] > x0 - ch / 2) & (q[:, 0] < x0 + ch / 2)
+            & (q[:, 1] > y0 - ch / 2) & (q[:, 1] < y0 + ch / 2)
+        )
+        points = points[m]
+        points[:, :2] -= center_offset
+
+        scale = h / ch
+        points[:, 0] *= scale
+        points[:, 1] *= scale
+        if "annotations" in info:
+            boxes = info["annotations"]["gt_boxes"]
+            boxes[:, [0, 3]] *= scale
+            boxes[:, [1, 4]] *= scale
+            if boxes.shape[1] == 9:  # velocities
+                boxes[:, 6] *= scale
+                boxes[:, 7] *= scale
+        return points, info
+
+
+@PROCESSORS.register()
 class Voxelization(AugmentationBase):
     """Host hard voxelization (reference `extend_3d.py:255-283`) — parity
     path; the TPU pipeline normally uses `PadPoints` + device voxelizer."""
