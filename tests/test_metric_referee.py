@@ -39,8 +39,9 @@ from efg_tpu.evaluator.waymo_tracking import WaymoTrackingMetric
 def _bev_corners(box):
     x, y, _, dx, dy, _, yaw = box[:7]
     c, s = np.cos(yaw), np.sin(yaw)
+    # CCW winding (the half-plane clipper keeps the left side of each edge)
     local = np.array(
-        [[dx / 2, dy / 2], [dx / 2, -dy / 2], [-dx / 2, -dy / 2], [-dx / 2, dy / 2]]
+        [[dx / 2, dy / 2], [-dx / 2, dy / 2], [-dx / 2, -dy / 2], [dx / 2, -dy / 2]]
     )
     rot = np.array([[c, -s], [s, c]])
     return local @ rot.T + np.array([x, y])
