@@ -59,6 +59,49 @@ def mask_iou_np(a: np.ndarray, b: np.ndarray, iscrowd=None) -> np.ndarray:
     return inter / np.maximum(union, 1e-9)
 
 
+# COCO person-keypoint per-keypoint falloff constants (pycocotools
+# `COCOeval.__init__` kpt_oks_sigmas; reference passes
+# `config.dataset.test.keypoint_oks_sigmas` through, `coco_evaluator.py:91`)
+KPT_OKS_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+     1.07, 1.07, .87, .87, .89, .89]
+) / 10.0
+
+
+def oks_np(det_kpts: np.ndarray, gt_kpts: np.ndarray, gt_boxes: np.ndarray,
+           gt_areas: np.ndarray, sigmas: np.ndarray = None) -> np.ndarray:
+    """Object-keypoint-similarity matrix [N_det, M_gt] (pycocotools
+    `computeOks` semantics): per keypoint exp(-d²/(2·area·(2σ)²)),
+    averaged over the GT's labeled keypoints; a GT with no labeled
+    keypoints falls back to distances clamped against its box expanded
+    by 2× on each side."""
+    n, m = det_kpts.shape[0], gt_kpts.shape[0]
+    if n == 0 or m == 0:
+        return np.zeros((n, m))
+    k = det_kpts.shape[1]
+    sigmas = KPT_OKS_SIGMAS[:k] if sigmas is None else np.asarray(sigmas)[:k]
+    var = (sigmas * 2.0) ** 2  # [K]
+    out = np.zeros((n, m))
+    xd, yd = det_kpts[..., 0], det_kpts[..., 1]  # [N, K]
+    for j in range(m):
+        vg = gt_kpts[j, :, 2]
+        lab = vg > 0
+        if lab.any():
+            dx = xd - gt_kpts[j, None, :, 0][0]
+            dy = yd - gt_kpts[j, None, :, 1][0]
+        else:
+            x0, y0, x1, y1 = gt_boxes[j]
+            w, h = x1 - x0, y1 - y0
+            z0x, z1x = x0 - w, x1 + w
+            z0y, z1y = y0 - h, y1 + h
+            dx = np.clip(z0x - xd, 0, None) + np.clip(xd - z1x, 0, None)
+            dy = np.clip(z0y - yd, 0, None) + np.clip(yd - z1y, 0, None)
+            lab = np.ones(k, bool)
+        e = (dx**2 + dy**2) / var[None, :] / max(gt_areas[j], 1e-9) / 2.0
+        out[:, j] = np.exp(-e[:, lab]).sum(axis=1) / lab.sum()
+    return out
+
+
 def _match_image(iou, det_scores, gt_ignore, iou_thrs):
     """Greedy score-ordered matching over a precomputed det×gt IoU matrix
     (rows already score-sorted). Returns (tp [T, D], ignore_det [T, D],
@@ -105,14 +148,17 @@ class COCOEvalNP:
     (`efg/evaluator/coco_evaluator.py:485-523`)."""
 
     def __init__(self, max_dets: int = 100, iou_type: str = "bbox"):
-        assert iou_type in ("bbox", "segm")
+        assert iou_type in ("bbox", "segm", "keypoints")
+        if iou_type == "keypoints" and max_dets == 100:
+            max_dets = 20  # pycocotools keypoint default
         self.max_dets = max_dets
         self.iou_type = iou_type
         # frames[(cat)] = list of per-image dicts
         self.frames: Dict[int, List[dict]] = defaultdict(list)
 
     def add_image(self, cat_id: int, det_boxes, det_scores, gt_boxes,
-                  gt_iscrowd, gt_areas, det_masks=None, gt_masks=None):
+                  gt_iscrowd, gt_areas, det_masks=None, gt_masks=None,
+                  det_keypoints=None, gt_keypoints=None):
         f = dict(
             det_boxes=np.asarray(det_boxes, np.float64).reshape(-1, 4),
             det_scores=np.asarray(det_scores, np.float64).reshape(-1),
@@ -125,6 +171,10 @@ class COCOEvalNP:
             gm = np.asarray(gt_masks, np.uint8)
             f["det_masks"] = dm.reshape(len(f["det_boxes"]), -1)
             f["gt_masks"] = gm.reshape(len(f["gt_boxes"]), -1)
+        elif self.iou_type == "keypoints":
+            nd, ng = len(f["det_boxes"]), len(f["gt_boxes"])
+            f["det_keypoints"] = np.asarray(det_keypoints, np.float64).reshape(nd, -1, 3)
+            f["gt_keypoints"] = np.asarray(gt_keypoints, np.float64).reshape(ng, -1, 3)
         self.frames[cat_id].append(f)
 
     def _eval_for(self, cat_frames, area_rng, max_dets=None):
@@ -149,9 +199,22 @@ class COCOEvalNP:
                         * np.clip(f["gt_boxes"][:, 3] - f["gt_boxes"][:, 1], 0, None)
                     )
             gt_ignore = f["gt_iscrowd"] | (g_area < area_rng[0]) | (g_area >= area_rng[1])
+            if self.iou_type == "keypoints" and len(f["gt_boxes"]):
+                # GTs with zero labeled keypoints are ignore regions
+                # (pycocotools: gt['ignore'] = k1 == 0)
+                gt_ignore = gt_ignore | ~(f["gt_keypoints"][:, :, 2] > 0).any(axis=1)
             num_gt += int((~gt_ignore).sum())
 
-            if self.iou_type == "segm":
+            if self.iou_type == "keypoints":
+                iou = oks_np(f["det_keypoints"][order0], f["gt_keypoints"],
+                             f["gt_boxes"], g_area)
+                # det "area" for the range filter: its box area (dets carry
+                # boxes in keypoint results; pycocotools uses the det bbox)
+                d_area = (
+                    np.clip(det[:, 2] - det[:, 0], 0, None)
+                    * np.clip(det[:, 3] - det[:, 1], 0, None)
+                )
+            elif self.iou_type == "segm":
                 dmask = f["det_masks"][order0]
                 iou = mask_iou_np(dmask, f["gt_masks"], iscrowd=f["gt_iscrowd"])
                 d_area = dmask.sum(1).astype(np.float64)
@@ -202,16 +265,21 @@ class COCOEvalNP:
 
     def summarize(self) -> Dict[str, float]:
         cats = sorted(self.frames.keys())
+        # keypoint protocol has no "small" range (pycocotools kpt params;
+        # reference summary keys "AP","AP50","AP75","APm","APl",
+        # `coco_evaluator.py:267`)
+        rngs = [r for r in AREA_RNGS if not (self.iou_type == "keypoints" and r == "small")]
         per_cat = {
             rng: np.stack([self._ap_for(self.frames[c], AREA_RNGS[rng]) for c in cats])
-            for rng in AREA_RNGS
+            for rng in rngs
         }  # [C, T]
         out = {}
         all_ap = per_cat["all"]
         out["AP"] = float(np.nanmean(all_ap))
         out["AP50"] = float(np.nanmean(all_ap[:, 0]))
         out["AP75"] = float(np.nanmean(all_ap[:, 5]))
-        out["APs"] = float(np.nanmean(per_cat["small"]))
+        if "small" in per_cat:
+            out["APs"] = float(np.nanmean(per_cat["small"]))
         out["APm"] = float(np.nanmean(per_cat["medium"]))
         out["APl"] = float(np.nanmean(per_cat["large"]))
         # recall at 1/10/maxDets over all areas (standard COCO AR block)

@@ -118,3 +118,82 @@ def test_ar_small_dets_counts():
     res = ev.summarize()
     assert abs(res["AR100"] - 0.5) < 1e-6
     assert abs(res["AR1"] - 0.5) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# keypoints (OKS) task — reference coco_evaluator.py:267 summary keys
+# ---------------------------------------------------------------------------
+
+
+def _person(x0, y0, s=60.0, k=17):
+    """A GT person: box [x0,y0,x0+s,y0+s], keypoints on a grid, all labeled."""
+    kp = np.zeros((k, 3))
+    for i in range(k):
+        kp[i] = [x0 + (i % 4) * s / 4 + 5, y0 + (i // 4) * s / 4 + 5, 2]
+    return np.array([[x0, y0, x0 + s, y0 + s]]), kp[None], np.array([s * s])
+
+
+def test_oks_exact_keypoints_is_one():
+    from efg_tpu.evaluator.coco_eval_np import oks_np
+
+    box, kp, area = _person(0, 0)
+    oks = oks_np(kp, kp, box, area)
+    assert abs(oks[0, 0] - 1.0) < 1e-9
+
+
+def test_oks_falls_off_with_distance():
+    from efg_tpu.evaluator.coco_eval_np import oks_np
+
+    box, kp, area = _person(0, 0)
+    far = kp.copy()
+    far[..., :2] += 25.0
+    oks = oks_np(np.concatenate([kp, far]), kp, box, area)
+    assert oks[0, 0] > 0.99 and oks[1, 0] < 0.5
+
+
+def test_oks_unlabeled_gt_uses_expanded_box():
+    from efg_tpu.evaluator.coco_eval_np import oks_np
+
+    box, kp, area = _person(0, 0)
+    unl = kp.copy()
+    unl[..., 2] = 0  # no labeled keypoints
+    inside = kp  # det keypoints inside the expanded box -> zero distance
+    oks = oks_np(inside, unl, box, area)
+    assert abs(oks[0, 0] - 1.0) < 1e-9
+
+
+def test_keypoints_perfect_detector_ap1():
+    ev = COCOEvalNP(iou_type="keypoints")
+    assert ev.max_dets == 20
+    box, kp, area = _person(10, 10, s=120.0)  # area > 96^2 -> "large"
+    ev.add_image(1, box, np.array([0.9]), box, np.zeros(1, bool), area,
+                 det_keypoints=kp, gt_keypoints=kp)
+    res = ev.summarize()
+    assert abs(res["AP"] - 1.0) < 1e-6
+    assert "APs" not in res  # keypoint protocol has no small range
+    assert abs(res["APl"] - 1.0) < 1e-6
+
+
+def test_keypoints_jittered_matches_some_thresholds_only():
+    ev = COCOEvalNP(iou_type="keypoints")
+    box, kp, area = _person(0, 0)
+    noisy = kp.copy()
+    noisy[..., :2] += 4.0  # moderate error vs s=60 person (OKS ~ 0.67)
+    ev.add_image(1, box, np.array([0.9]), box, np.zeros(1, bool), area,
+                 det_keypoints=noisy, gt_keypoints=kp)
+    res = ev.summarize()
+    assert res["AP50"] > 0.99  # loose threshold matches
+    assert res["AP"] < 0.99    # strict thresholds drop
+
+
+def test_keypoints_zero_labeled_gt_is_ignored():
+    ev = COCOEvalNP(iou_type="keypoints")
+    box, kp, area = _person(0, 0)
+    unl = kp.copy()
+    unl[..., 2] = 0
+    # only GT has no labeled keypoints -> ignored; a matching det is
+    # neither TP nor FP, so the category contributes no GT (nan -> skipped)
+    ev.add_image(1, box, np.array([0.9]), box, np.zeros(1, bool), area,
+                 det_keypoints=kp, gt_keypoints=unl)
+    import math
+    assert math.isnan(ev.summarize()["AP"])
