@@ -182,14 +182,19 @@ def main():
 
     batch1 = ge._batch(n_points, bsz=1, pc=70.0)
     variables = model.init(jax.random.key(0), batch1["points"], batch1["points_mask"], True)
+    # keep the reference copy on HOST: the timed runs donate their state, and
+    # rebuilding a fresh state from already-donated device buffers is a
+    # runtime INVALID_ARGUMENT on the axon backend
+    variables = jax.tree.map(np.asarray, variables)
     tx = optax.flatten(optax.chain(optax.clip_by_global_norm(10.0), optax.adamw(3e-3)))
 
     def fresh_state():
+        params = jax.tree.map(jnp.asarray, variables["params"])
         return TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(variables["params"]),
+            params=params,
+            batch_stats=jax.tree.map(jnp.asarray, variables.get("batch_stats", {})),
+            opt_state=tx.init(params),
         )
 
     def step_fn(state, batch):
@@ -262,33 +267,86 @@ def main():
         )
     _emit(fps, extras)
 
-    # --- UPGRADE 1: bs=4 amortizes per-step fixed costs (dispatch,
-    # structure builds) over more frames — the reference trains bs=6/GPU —
-    # but its compile is cold-expensive; only attempt with budget left.
-    if not bs_env and _remaining() > 300:
-        try:
-            fps4, sps4, flops4 = measure(4)
-            extras["sec_per_step_bs4"] = round(sps4, 4)
-            if flops4:
-                extras["bs4_achieved_tflops_per_sec"] = round(flops4 / sps4 / 1e12, 2)
-            if fps4 > fps:
-                fps = fps4
-                extras["batch_size"] = 4
-            _emit(fps, extras)
-        except Exception as e:
-            extras["bs4_error"] = f"{e!r}"[:200]
-            _emit(fps, extras)
+    # --- UPGRADES, each in an ISOLATED SUBPROCESS: a crash, hang, or
+    # backend-poisoning error in one leg cannot disturb the banked primary
+    # or the other legs. Children share the persistent compile cache.
+    def run_child(mode, budget):
+        import subprocess
+        import sys
 
-    # --- UPGRADE 2: ConQueR secondary metric (BASELINE.json names it).
-    if _remaining() > 300:
+        env = dict(os.environ, BENCH_CHILD=mode)
         try:
-            cq_fps, cq_sps = bench_conquer()
-            extras["conquer_frames_per_sec_per_chip"] = round(cq_fps, 3)
-            extras["conquer_sec_per_step_bs2"] = round(cq_sps, 4)
-        except Exception as e:  # never let the secondary metric break the bench
-            extras["conquer_error"] = str(e)[:120]
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=budget, env=env,
+            )
+            for line in reversed(res.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)
+                except Exception:
+                    continue
+            return {"error": (res.stderr or res.stdout)[-200:] or f"rc={res.returncode}"}
+        except subprocess.TimeoutExpired:
+            return {"error": f"timeout after {budget:.0f}s"}
+
+    # bs=4 amortizes per-step fixed costs (dispatch, structure builds) over
+    # more frames — the reference trains bs=6/GPU
+    if not bs_env and _remaining() > 300:
+        r = run_child("bs4", _remaining() - 60)
+        if "error" in r:
+            extras["bs4_error"] = r["error"]
+        else:
+            extras["sec_per_step_bs4"] = r["sec_per_step"]
+            extras["bs4_achieved_tflops_per_sec"] = r.get("achieved_tflops_per_sec", 0.0)
+            if r["fps"] > fps:
+                fps = r["fps"]
+                extras["batch_size"] = 4
+        _emit(fps, extras)
+
+    # ConQueR secondary metric (BASELINE.json names it)
+    if not os.environ.get("BENCH_CHILD") and _remaining() > 300:
+        r = run_child("conquer", _remaining() - 60)
+        if "error" in r:
+            extras["conquer_error"] = r["error"]
+        else:
+            extras["conquer_frames_per_sec_per_chip"] = r["fps"]
+            extras["conquer_sec_per_step_bs2"] = r["sec_per_step"]
         _emit(fps, extras)
 
 
+def child_main(mode: str):
+    """Isolated upgrade leg: prints one small JSON line for the parent."""
+    import jax
+
+    cache_dir = os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if mode == "conquer":
+        fps, sps = bench_conquer()
+        print(json.dumps({"fps": round(fps, 3), "sec_per_step": round(sps, 4)}),
+              flush=True)
+        return
+    assert mode == "bs4"
+    os.environ["BENCH_BS"] = "4"
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main()
+    rec = json.loads(buf.getvalue().strip().splitlines()[-1])
+    print(json.dumps({
+        "fps": rec["value"],
+        "sec_per_step": rec["sec_per_step_bs4"],
+        "achieved_tflops_per_sec": rec.get("achieved_tflops_per_sec", 0.0),
+    }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    child = os.environ.get("BENCH_CHILD")
+    if child:
+        child_main(child)
+    else:
+        main()

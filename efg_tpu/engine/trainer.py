@@ -306,6 +306,12 @@ class DefaultTrainer:
             path = os.path.join(self.output_dir, ckpts[-1])
         elif self.config.model.get("weights"):
             path = self.config.model.weights
+            if "://" in path:
+                # catalog:// / detectron2:// / http(s):// zoo URIs
+                # (reference `utils/catalog.py`): resolve + cache locally
+                from efg_tpu.utils.catalog import PathManager  # registers handlers
+
+                path = PathManager.get_local_path(path)
         if not path:
             return
         if path.endswith((".pth", ".pkl")):

@@ -27,9 +27,9 @@ GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 
 # name -> replay iteration count (compile time dominates; keep short)
 REPLAY = {
-    "centerpoint_synth": 40,
-    "conquer_synth": 20,
-    "mask2former_synth": 20,
+    "centerpoint_synth": 30,
+    "conquer_synth": 12,
+    "mask2former_synth": 12,
 }
 
 

@@ -48,3 +48,25 @@ def test_event_storage_and_json_writer(tmp_path):
     assert rec["iteration"] == 1
     assert rec["loss"] == 3.0  # median of [1, 3] -> index 1
     assert rec["lr"] == 0.1
+
+
+def test_catalog_uri_resolution():
+    """catalog:// and detectron2:// resolve to public zoo URLs (reference
+    efg/utils/catalog.py); offline, resolution works and only the fetch
+    would raise."""
+    from efg_tpu.utils.catalog import Detectron2Handler, ModelCatalog
+
+    url = ModelCatalog.get("ImageNetPretrained/MSRA/R-50")
+    assert url.startswith("https://dl.fbaipublicfiles.com/detectron/")
+    assert url.endswith("R-50.pkl")
+
+    h = Detectron2Handler()
+    assert h.get_supported_prefixes() == ["detectron2://"]
+
+    from efg_tpu.utils.catalog import PathManager
+
+    assert PathManager.exists("catalog://ImageNetPretrained/MSRA/R-101")
+    assert not PathManager.exists("catalog://NoSuch/Entry")
+
+    ModelCatalog.register("My/Custom", "custom/weights.pkl")
+    assert ModelCatalog.get("My/Custom").endswith("custom/weights.pkl")

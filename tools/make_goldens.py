@@ -20,19 +20,45 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# (golden name, experiment dir, overrides)
+# (golden name, experiment dir, overrides). Shapes are shrunk via dotlist
+# overrides so the replay gate in tests/test_e2e_goldens.py stays cheap on
+# the 1-core CPU surface; the full-scale configs are exercised elsewhere
+# (verify skill / bench).
 EXPERIMENTS = {
     "centerpoint_synth": (
         "playground/detection.3d/synthetic/centerpoint.synth.voxelnet",
-        ["solver.lr_scheduler.max_iters=200", "dataloader.batch_size=8"],
+        [
+            "solver.lr_scheduler.max_iters=200",
+            "dataloader.batch_size=8",
+            "dataset.points_per_frame=2048",
+            "dataset.processors.train[5].PadPoints.num_points=2048",
+            "model.max_voxels=2048",
+            "model.stage_caps=[1536,1024,768,768]",
+        ],
     ),
     "conquer_synth": (
         "playground/detection.3d/synthetic/conquer.synth.res18",
-        ["solver.lr_scheduler.max_iters=120", "dataloader.batch_size=8"],
+        [
+            "solver.lr_scheduler.max_iters=120",
+            "dataloader.batch_size=8",
+            "dataset.points_per_frame=2048",
+            "dataset.processors.train[2].PadPoints.num_points=2048",
+            "model.max_voxels=2048",
+            "model.resnet_caps=[1536,1024,512,256]",
+        ],
     ),
     "mask2former_synth": (
         "playground/panoptic_seg/synthetic/mask2former.synth.res50",
-        ["solver.lr_scheduler.max_iters=120", "dataloader.batch_size=8"],
+        [
+            "solver.lr_scheduler.max_iters=120",
+            "dataloader.batch_size=8",
+            "dataset.image_size=96",
+            "dataset.processors.train[1].RasterizeMasks.height=96",
+            "dataset.processors.train[1].RasterizeMasks.width=96",
+            "dataset.processors.train[2].PadImage.height=96",
+            "dataset.processors.train[2].PadImage.width=96",
+            "model.mask2former.depth=18",
+        ],
     ),
 }
 
