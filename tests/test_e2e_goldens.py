@@ -25,12 +25,15 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN_DIR = os.path.join(REPO, "tests", "goldens")
 
-# name -> replay iteration count (compile time dominates; keep short)
+# name -> replay iteration count (compile time dominates; keep short).
+# The flagship replay always runs; the others are opt-in (EFG_RUN_E2E=1)
+# to keep the default suite affordable on the 1-core CPU surface.
 REPLAY = {
-    "centerpoint_synth": 30,
+    "centerpoint_synth": 12,
     "conquer_synth": 12,
     "mask2former_synth": 12,
 }
+OPT_IN = {"conquer_synth", "mask2former_synth"}
 
 
 def _goldens():
@@ -68,6 +71,8 @@ def test_golden_replay_prefix(name):
         pytest.skip(f"golden {name} not generated yet (tools/make_goldens.py)")
     if os.environ.get("EFG_SKIP_E2E"):
         pytest.skip("EFG_SKIP_E2E set")
+    if name in OPT_IN and not os.environ.get("EFG_RUN_E2E"):
+        pytest.skip(f"{name} replay is opt-in (set EFG_RUN_E2E=1)")
     g = _load(name)
     n_replay = REPLAY[name]
     exp_dir = os.path.join(REPO, g["experiment"])

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N = 6
+N = 12  # match bench_conquer n_iters so the persistent compile cache is shared
 
 
 def build():

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-N = 10
+N = 30  # match bench.py n_iters so the persistent compile cache is shared
 
 
 def build_step(bs=2):
