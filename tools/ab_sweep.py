@@ -32,7 +32,10 @@ def run_variant(name: str, extra_env: dict) -> dict:
         os.environ,
         BENCH_BS="2",            # primary leg only
         BENCH_TIME_BUDGET="0",   # no upgrade legs
-        PYTHONPATH=REPO,
+        # PREPEND to PYTHONPATH — clobbering it drops /root/.axon_site,
+        # where the axon TPU PJRT plugin lives (r4: all legs failed with
+        # "Unable to initialize backend 'axon'")
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
         **extra_env,
     )
     t0 = time.monotonic()
