@@ -91,9 +91,34 @@ class BottleneckBlock(nn.Module):
         return jax.nn.relu(out + shortcut)
 
 
+class BasicBlock(nn.Module):
+    """Two-3x3-conv residual block for ResNet-18/34 (reference
+    `efg/modeling/backbones/resnet.py` BasicBlock)."""
+
+    out_channels: int
+    stride: int = 1
+    norm: str = "FrozenBN"
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        shortcut = x
+        if x.shape[-1] != self.out_channels or self.stride != 1:
+            shortcut = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
+                               use_bias=False, kernel_init=_msra, name="shortcut")(x)
+            shortcut = _norm(self.norm, train, "shortcut_norm")(shortcut)
+        out = nn.Conv(self.out_channels, (3, 3), strides=self.stride, padding=1,
+                      use_bias=False, kernel_init=_msra, name="conv1")(x)
+        out = jax.nn.relu(_norm(self.norm, train, "norm1")(out))
+        out = nn.Conv(self.out_channels, (3, 3), padding=1,
+                      use_bias=False, kernel_init=_msra, name="conv2")(out)
+        out = _norm(self.norm, train, "norm2")(out)
+        return jax.nn.relu(out + shortcut)
+
+
 class ResNet(nn.Module):
-    """ResNet-50/101 trunk. `freeze_at` stops gradients through early stages
-    (reference freeze-at semantics)."""
+    """ResNet-18/34/50/101 trunk. `freeze_at` stops gradients through early
+    stages (reference freeze-at semantics). 18/34 use BasicBlock (channel
+    widths 64..512); 50/101 use BottleneckBlock (256..2048)."""
 
     depth: int = 50
     norm: str = "FrozenBN"
@@ -107,7 +132,11 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool) -> Dict[str, jax.Array]:
-        blocks_per_stage = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[self.depth]
+        blocks_per_stage = {
+            18: (2, 2, 2, 2), 34: (3, 4, 6, 3),
+            50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+        }[self.depth]
+        basic = self.depth in (18, 34)
         # stem
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     kernel_init=_msra, name="stem_conv1")(x)
@@ -117,7 +146,7 @@ class ResNet(nn.Module):
             x = jax.lax.stop_gradient(x)
 
         outputs: Dict[str, jax.Array] = {}
-        out_ch, bott = 256, 64
+        out_ch, bott = (64, 64) if basic else (256, 64)
         for stage_i, n_blocks in enumerate(blocks_per_stage):
             name = f"res{stage_i + 2}"
             first_stride = 1 if stage_i == 0 else 2
@@ -125,6 +154,14 @@ class ResNet(nn.Module):
             if dilation > 1:
                 first_stride = 1
             for b in range(n_blocks):
+                if basic:
+                    assert not self.deform_on_per_stage[stage_i] and dilation == 1, \
+                        "BasicBlock (depth 18/34) supports neither deform nor dilation"
+                    x = BasicBlock(
+                        out_ch, stride=first_stride if b == 0 else 1,
+                        norm=self.norm, name=f"{name}_block{b}",
+                    )(x, train)
+                    continue
                 x = BottleneckBlock(
                     out_ch, bott,
                     stride=first_stride if b == 0 else 1,

@@ -326,15 +326,16 @@ def _window_gather_runs_impl(value, coeffs, base_yx, num_heads, radius, chunk):
     def body(args):
         a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
         patch = _gather_patches_runs(vflat, base_c, h, s, num_heads)
-        # contract S² as one dot_general batched over (B, chunk, NH):
-        # never materializes the f32 [B, chunk, S², C] coefficient
-        # broadcast (traced at ~20 ms/layer as relayout copies)
-        out = jax.lax.dot_general(
-            a_c.astype(patch.dtype), patch,
-            (((3,), (2,)), ((0, 1, 2), (0, 1, 4))),
-            preferred_element_type=jnp.float32,
-        )  # [B, chunk, NH, hd]
-        return out.swapaxes(2, 3).reshape(b, a_c.shape[1], c)
+        # contract S² as a broadcast-multiply-reduce that keeps the channel
+        # dim MINOR throughout. The previous dot_general batched over NH —
+        # a minor dim — which forced XLA to materialize the patches as
+        # f32[B·chunk·S, S, C]{1,0,2} relayout copies + reshapes
+        # (6 × (19.5 + 18.8) ms/step in the r4 device trace). The reduce
+        # keeps lanes = channels and fuses into the gather consumer.
+        a_t = a_c.swapaxes(2, 3)  # [B, chunk, S², NH]
+        prod = patch.astype(jnp.float32) * a_t[:, :, :, None, :]
+        out = prod.sum(2)  # [B, chunk, hd, NH]
+        return out.reshape(b, a_c.shape[1], c)
 
     a_ch, b_ch, n_chunks = _chunked(coeffs, base_yx, chunk, s)
     out = jax.lax.map(body, (a_ch, b_ch))  # [n_chunks, B, chunk, C]
@@ -380,13 +381,12 @@ def _window_gather_runs_bwd(num_heads, radius, chunk, res, g):
     def da_body(args):
         g_c, base_c = args  # [B, chunk, C], [B, chunk, 2]
         patch = _gather_patches_runs(vflat, base_c, h, s, num_heads)
-        g_r = g_c.reshape(b, g_c.shape[1], hd, num_heads).astype(patch.dtype)
-        # dA[b,q,n,o] = Σ_d g[b,q,d,n] · patch[b,q,o,d,n]
-        return jax.lax.dot_general(
-            g_r, patch,
-            (((2,), (3,)), ((0, 1, 3), (0, 1, 4))),
-            preferred_element_type=jnp.float32,
-        )  # [B, chunk, NH, S²]
+        # dA[b,q,n,o] = Σ_d g[b,q,d,n] · patch[b,q,o,d,n] — as a
+        # broadcast-multiply-reduce over hd (same channel-minor layout
+        # rationale as the forward body; no dot_general relayout)
+        g_r = g_c.reshape(b, g_c.shape[1], 1, hd, num_heads)
+        prod = patch.astype(jnp.float32) * g_r.astype(jnp.float32)
+        return prod.sum(3).swapaxes(2, 3)  # [B, chunk, NH, S²]
 
     pad_l = (-l) % chunk
     g_p = jnp.pad(gi, ((0, 0), (0, pad_l), (0, 0)))
