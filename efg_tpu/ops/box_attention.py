@@ -279,6 +279,12 @@ def box_attention_window_dense_mxu(
     return out.reshape(b, h * w, c).astype(value.dtype)
 
 
+def _dot_dtype():
+    """bf16 MXU dots on TPU; f32 on CPU (XLA:CPU's DotThunk cannot execute
+    BF16×BF16→F32, and the tests run on the forced-CPU surface)."""
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
 def _chunked(coeffs: jax.Array, base_yx: jax.Array, chunk: int, s: int):
     b, l = coeffs.shape[:2]
     pad_l = (-l) % chunk
@@ -292,24 +298,33 @@ def _chunked(coeffs: jax.Array, base_yx: jax.Array, chunk: int, s: int):
 
 def _gather_patches_runs(vflat: jax.Array, base_c: jax.Array, h: int, s: int,
                          num_heads: int):
-    """Window patches for one query chunk from the x-padded interleaved map:
-    each window row is ONE contiguous (2R+1)-cell slice. Out-of-map y rows
-    clamp to an edge row; their bins carry zero weight (bin_window_coeffs
-    masks on the true position). → [B, chunk, S², hd, NH]."""
-    b = vflat.shape[0]
-    c = vflat.shape[-1]
-    radius = (s - 1) // 2
+    """Window patches for one query chunk from the x-padded interleaved map.
+
+    The whole S×S window is ONE 2D gather slice of the [H, Wp·C]-viewed
+    map: rows y0..y0+S−1, cols x·C..(x+S)·C (window rows are contiguous in
+    the x-padded layout). One slice descriptor per query instead of S row
+    slices — the per-row version spent ~1 µs/descriptor (≈8 GB/s effective,
+    6×46.6 ms/step in the r4 ConQueR trace) on descriptor issue, not DMA.
+
+    The map is y-padded by R rows as well as x-padded, so the slice never
+    clamps: patch row (dy+R) always reads true row y+dy, with out-of-map
+    rows fetching zeros (their bins carry zero weight via the
+    bin_window_coeffs mask). → [B, chunk, S², hd, NH].
+    """
+    b, hp, wp, c = vflat.shape
+    assert hp == h + (s - 1), "vflat must be y-padded by radius on each side"
     ch = base_c.shape[1]
-    dyy = jnp.arange(-radius, radius + 1, dtype=jnp.int32)
+    v2d = vflat.reshape(b, hp, wp * c)
+    y0 = base_c[..., 0]  # padded row y is the window's top row (y−R+R)
+    xc = base_c[..., 1] * c
+    starts = jnp.stack([y0, xc], -1)  # [B, chunk, 2]
     gdn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(0,), start_index_map=(0, 1),
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1),
     )
-    yy = jnp.clip(base_c[..., 0][:, :, None] + dyy, 0, h - 1)
-    xs = jnp.broadcast_to(base_c[..., 1][:, :, None], yy.shape)
-    starts = jnp.stack([yy, xs], -1).reshape(b, ch * s, 2)
     patch = jax.vmap(
-        lambda v, st: jax.lax.gather(v, st, gdn, slice_sizes=(1, s, c), mode="clip")
-    )(vflat, starts)  # [B, chunk·S, S, C]
+        lambda v, st: jax.lax.gather(v, st, gdn, slice_sizes=(s, s * c),
+                                     mode="clip")
+    )(v2d, starts)  # [B, chunk, S, S·C]
     return patch.reshape(b, ch, s * s, c // num_heads, num_heads)
 
 
@@ -318,24 +333,40 @@ def _window_gather_runs_impl(value, coeffs, base_yx, num_heads, radius, chunk):
     s = 2 * radius + 1
     l = coeffs.shape[1]
     vi = _interleave(value, num_heads)
-    # pad x so each window row is one in-bounds contiguous slice
+    # pad y AND x so each window is one in-bounds contiguous 2D slice
     vflat = jnp.pad(
-        vi.astype(jnp.bfloat16), ((0, 0), (0, 0), (radius, radius), (0, 0))
+        vi.astype(jnp.bfloat16),
+        ((0, 0), (radius, radius), (radius, radius), (0, 0)),
     )
+
+    # head-selection one-hot E[c, n] = 1 iff channel c belongs to head n
+    # (interleaved layout: n = c mod NH)
+    e_sel = (
+        jnp.arange(c, dtype=jnp.int32)[:, None] % num_heads
+        == jnp.arange(num_heads, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
 
     def body(args):
         a_c, base_c = args  # [B, chunk, NH, S²], [B, chunk, 2]
         patch = _gather_patches_runs(vflat, base_c, h, s, num_heads)
-        # contract S² as a broadcast-multiply-reduce that keeps the channel
-        # dim MINOR throughout. The previous dot_general batched over NH —
-        # a minor dim — which forced XLA to materialize the patches as
-        # f32[B·chunk·S, S, C]{1,0,2} relayout copies + reshapes
-        # (6 × (19.5 + 18.8) ms/step in the r4 device trace). The reduce
-        # keeps lanes = channels and fuses into the gather consumer.
-        a_t = a_c.swapaxes(2, 3)  # [B, chunk, S², NH]
-        prod = patch.astype(jnp.float32) * a_t[:, :, :, None, :]
-        out = prod.sum(2)  # [B, chunk, hd, NH]
-        return out.reshape(b, a_c.shape[1], c)
+        patch = patch.reshape(b, a_c.shape[1], s * s, c)
+        # Contract S² as a REAL MXU matmul with redundant heads:
+        #   T[b,q,n,c] = Σ_o a[b,q,n,o] · patch[b,q,o,c]   (K = S²)
+        #   out[b,q,c] = T[b,q,n(c),c]                      (one-hot reduce)
+        # 8× redundant FLOPs but trivially cheap on the MXU, and BOTH
+        # operands contract in their natural layouts (lhs O minor, rhs C
+        # free minor) so no relayout copies. Alternatives measured worse
+        # on TPU (r4 traces): dot_general batched over NH (a minor dim)
+        # forced f32 relayout copies of the patches (≈38 ms/layer);
+        # broadcast-multiply-reduce materialized the [B,chunk,S²,hd,NH]
+        # f32 product (≈80 ms/layer of broadcast + reshape + reduce).
+        dd = _dot_dtype()
+        t = jax.lax.dot_general(
+            a_c.astype(dd), patch.astype(dd),
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk, NH, C]
+        return (t * e_sel.T[None, None]).sum(2)  # [B, chunk, C]
 
     a_ch, b_ch, n_chunks = _chunked(coeffs, base_yx, chunk, s)
     out = jax.lax.map(body, (a_ch, b_ch))  # [n_chunks, B, chunk, C]
@@ -356,12 +387,11 @@ def _window_gather_runs_fwd(value, coeffs, base_yx, num_heads, radius, chunk):
 
 
 def _window_gather_runs_bwd(num_heads, radius, chunk, res, g):
-    """Scatter-free backward. dA re-gathers the window patches and
-    contracts the head dim; dV accumulates each query's rank-1 window
-    contribution into a y/x-padded map with in-place dynamic-update-slices
-    inside one lax.scan (XLA aliases the carry) — the autodiff transpose
-    of the gather would be an XLA scatter-add over B·L window slices,
-    which lowers catastrophically on TPU.
+    """Custom backward. dA re-gathers the window patches and contracts the
+    head dim; dV scatter-adds each query's window contribution ROW by ROW
+    (S scan steps of windowed [B, L, S·C] scatter-adds — see dv_body) —
+    the plain autodiff transpose of the patch gather would scatter B·L
+    whole S×S·C windows with heavy index arithmetic per element.
 
     Contract: coefficients at out-of-map window cells must be zero (what
     `bin_window_coeffs` guarantees via its `ok` mask). Cotangents for
@@ -374,19 +404,31 @@ def _window_gather_runs_bwd(num_heads, radius, chunk, res, g):
     l = coeffs.shape[1]
     vi = _interleave(value, num_heads)
     vflat = jnp.pad(
-        vi.astype(jnp.bfloat16), ((0, 0), (0, 0), (radius, radius), (0, 0))
+        vi.astype(jnp.bfloat16),
+        ((0, 0), (radius, radius), (radius, radius), (0, 0)),
     )
     gi = _interleave(g, num_heads)  # transpose of the output deinterleave
+
+    dd = _dot_dtype()
+    e_sel = (
+        jnp.arange(c, dtype=jnp.int32)[:, None] % num_heads
+        == jnp.arange(num_heads, dtype=jnp.int32)[None, :]
+    ).astype(dd)
 
     def da_body(args):
         g_c, base_c = args  # [B, chunk, C], [B, chunk, 2]
         patch = _gather_patches_runs(vflat, base_c, h, s, num_heads)
-        # dA[b,q,n,o] = Σ_d g[b,q,d,n] · patch[b,q,o,d,n] — as a
-        # broadcast-multiply-reduce over hd (same channel-minor layout
-        # rationale as the forward body; no dot_general relayout)
-        g_r = g_c.reshape(b, g_c.shape[1], 1, hd, num_heads)
-        prod = patch.astype(jnp.float32) * g_r.astype(jnp.float32)
-        return prod.sum(3).swapaxes(2, 3)  # [B, chunk, NH, S²]
+        patch = patch.reshape(b, g_c.shape[1], s * s, c)
+        # dA[b,q,n,o] = Σ_c patch[b,q,o,c] · g[b,q,c] · E[c,n]: fold the
+        # head selection into the (small) cotangent and contract channels
+        # as one MXU matmul (same no-relayout rationale as the forward)
+        g2 = g_c.astype(dd)[..., None] * e_sel  # [B, chunk, C, NH]
+        da_t = jax.lax.dot_general(
+            patch.astype(dd), g2,
+            (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk, S², NH]
+        return da_t.swapaxes(2, 3)  # [B, chunk, NH, S²]
 
     pad_l = (-l) % chunk
     g_p = jnp.pad(gi, ((0, 0), (0, pad_l), (0, 0)))
@@ -398,28 +440,38 @@ def _window_gather_runs_bwd(num_heads, radius, chunk, res, g):
     da = da.swapaxes(0, 1).reshape(b, n_chunks * chunk, num_heads, s * s)[:, :l]
     da = da.astype(coeffs.dtype)
 
-    # dV: one row scatter-add per window offset (S² scan steps; each adds
-    # [B, L, C] query contributions at rows y=clip(by+oy), x=bx+ox of the
-    # x-padded map). Measured on TPU (tools/bench_dv.py, r4): 82 ms vs
-    # 1132 ms for the previous dynamic-update-slice accumulation — XLA
-    # cannot alias the carry through dynamic-index read-modify-write
-    # chains, so every DUS copied the ~100 MB buffer.
+    # dV: one ROW-SLICE scatter-add per window y-offset (S scan steps; each
+    # adds [B, L, S·C] window-row contributions at (y=clip(by+oy), x=bx) of
+    # the x-padded map — a window row is one contiguous (2R+1)·C run, so a
+    # windowed scatter moves the same bytes with S× fewer scattered rows).
+    # History: the r3 dynamic-update-slice accumulation was 1132 ms (XLA
+    # cannot alias dynamic-index read-modify-write chains → full-buffer
+    # copies); per-OFFSET row scatter-adds (S² steps of [B, L, C]) measured
+    # 82 ms (tools/bench_dv.py, r4) and were still scattered-row-count
+    # bound at ~53 ns/row.
     wp = w + 2 * radius
-    dv0 = jnp.zeros((b, h * wp, c), jnp.float32)
-    hd_rep = hd  # channel layout is head-interleaved: n fastest
+    dv0 = jnp.zeros((b, h, wp * c), jnp.float32)
+    sdn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0, 1),
+    )
+    xc = base_yx[..., 1] * c  # [B, L] col start in the [H, Wp·C] view
 
-    def dv_body(dv, o):
-        oy, ox = o // s, o % s
+    def dv_body(dv, oy):
         yy = jnp.clip(base_yx[..., 0] + (oy - radius), 0, h - 1)  # [B, L]
-        rows = yy * wp + base_yx[..., 1] + ox
-        a_o = jnp.take(coeffs, o, axis=3)  # [B, L, NH]
-        # expand per-head coeff to interleaved channels [B, L, C]
-        a_c = jnp.tile(a_o, (1, 1, hd_rep))
-        vals = a_c.astype(jnp.float32) * gi.astype(jnp.float32)
-        dv = jax.vmap(lambda d, r, v: d.at[r].add(v))(dv, rows, vals)
+        a_row = jax.lax.dynamic_slice_in_dim(coeffs, oy * s, s, axis=3)
+        # vals[b,q,ox,d,n] = a_row[b,q,n,ox] · g[b,q,d·NH+n] (head-interleaved)
+        vals = (
+            a_row.transpose(0, 1, 3, 2)[:, :, :, None, :].astype(jnp.float32)
+            * gi.reshape(b, l, 1, hd, num_heads).astype(jnp.float32)
+        ).reshape(b, l, s * c)
+        idx = jnp.stack([yy, xc], -1)  # [B, L, 2]
+        dv = jax.vmap(
+            lambda d, i, v: jax.lax.scatter_add(d, i, v, sdn)
+        )(dv, idx, vals)
         return dv, None
 
-    dv, _ = jax.lax.scan(dv_body, dv0, jnp.arange(s * s, dtype=jnp.int32))
+    dv, _ = jax.lax.scan(dv_body, dv0, jnp.arange(s, dtype=jnp.int32))
     # drop the x pad columns (out-of-map bins carry zero coefficients)
     dv = dv.reshape(b, h, wp, c)[:, :, radius:radius + w]
     dvalue = _deinterleave(dv, num_heads).astype(value.dtype)
