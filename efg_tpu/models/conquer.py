@@ -293,7 +293,9 @@ def conquer_train_loss(
         mutable=["batch_stats"],
     )
 
-    losses = VD.compute_loss(preds, batch, model_cfg=model_cfg)
+    losses, final_assign = VD.compute_loss(
+        preds, batch, model_cfg=model_cfg, return_assign=True
+    )
     losses.pop("loss")
 
     # denoising losses
@@ -331,13 +333,9 @@ def conquer_train_loss(
     gt_boxes_out = jax.lax.stop_gradient(gt_boxes_out)
 
     # matched indices of the FINAL layer for contrast (reference uses
-    # per-layer matches; final-layer match is reused across layers here)
-    cost = jax.vmap(
-        lambda lg, bx, tb, tl, tm: VD.match_cost(lg, bx, tb, tl, tm, mw)
-    )(preds["dec_logits"][-1], preds["dec_boxes"][-1], tgt_boxes, tgt_labels, tgt_mask)
-    from efg_tpu.ops.matcher import hungarian_match
-
-    assign = hungarian_match(cost, tgt_mask)
+    # per-layer matches; final-layer match is reused across layers here) —
+    # the assignment is the one compute_loss already solved for that layer
+    assign = final_assign
 
     d = preds["dec_logits"].shape[0]
     for li in range(d):

@@ -492,11 +492,13 @@ def detr_set_loss(
     *,
     full_logits: Optional[jax.Array] = None,  # [B, L, C] for the enc loss
     topk_idx: Optional[jax.Array] = None,     # [B, Q] positions in L
+    assign: Optional[jax.Array] = None,       # precomputed [B, G] assignment
 ) -> Dict[str, jax.Array]:
-    cost = jax.vmap(lambda lg, bx, tb, tl, tm: match_cost(lg, bx, tb, tl, tm, mw))(
-        pred_logits, pred_boxes, tgt_boxes, tgt_labels, tgt_mask
-    )
-    assign = hungarian_match(cost, tgt_mask)  # [B, G] query idx or -1
+    if assign is None:
+        cost = jax.vmap(lambda lg, bx, tb, tl, tm: match_cost(lg, bx, tb, tl, tm, mw))(
+            pred_logits, pred_boxes, tgt_boxes, tgt_labels, tgt_mask
+        )
+        assign = hungarian_match(cost, tgt_mask)  # [B, G] query idx or -1
     ok = assign >= 0
     a = jnp.where(ok, assign, 0)
 
@@ -535,7 +537,8 @@ def detr_set_loss(
     }
 
 
-def compute_loss(preds: Dict[str, Any], batch: Dict[str, Any], *, model_cfg: Dict[str, Any]):
+def compute_loss(preds: Dict[str, Any], batch: Dict[str, Any], *,
+                 model_cfg: Dict[str, Any], return_assign: bool = False):
     coder = VoxelBoxCoder3D(model_cfg["voxel_size"], model_cfg["pc_range"])
     mw = model_cfg["loss_weights"]  # {"class": 1, "bbox": 4, "giou": 2, "rad": 4}
 
@@ -544,27 +547,53 @@ def compute_loss(preds: Dict[str, Any], batch: Dict[str, Any], *, model_cfg: Dic
     tgt_mask = batch["gt_mask"]
     num_boxes = jnp.maximum(tgt_mask.sum().astype(jnp.float32), 1.0)
 
+    # ONE batched Hungarian solve for every matched layer (enc + d decoder
+    # levels, [(1+d)·B, Q, G]): the device matcher's augmenting-path while
+    # loops are lane-parallel under vmap, so K stacked problems cost ~one
+    # solve's wall time instead of K serial solves (~19 ms each in the r4
+    # ConQueR device trace).
+    enc_logits_q = jnp.take_along_axis(
+        preds["enc_logits"], preds["topk_idx"][..., None], axis=1)
+    enc_boxes_q = jnp.take_along_axis(
+        preds["enc_boxes"], preds["topk_idx"][..., None], axis=1)
+    bin_labels = jnp.zeros_like(tgt_labels)
+    d = preds["dec_logits"].shape[0]
+    layer_logits = [enc_logits_q] + [preds["dec_logits"][i] for i in range(d)]
+    layer_boxes = [enc_boxes_q] + [preds["dec_boxes"][i] for i in range(d)]
+    layer_labels = [bin_labels] + [tgt_labels] * d
+    cost_all = jnp.concatenate([
+        jax.vmap(lambda lg, bx, tb, tl, tm: match_cost(lg, bx, tb, tl, tm, mw))(
+            lg, bx, tgt_boxes, ll, tgt_mask
+        )
+        for lg, bx, ll in zip(layer_logits, layer_boxes, layer_labels)
+    ], axis=0)
+    k = 1 + d
+    b, g = tgt_mask.shape
+    mask_all = jnp.tile(tgt_mask, (k, 1))
+    assign_all = hungarian_match(cost_all, mask_all).reshape(k, b, g)
+
     losses: Dict[str, jax.Array] = {}
     # encoder (binary objectness) loss over the full map
-    bin_labels = jnp.zeros_like(tgt_labels)
     enc = detr_set_loss(
-        jnp.take_along_axis(preds["enc_logits"], preds["topk_idx"][..., None], axis=1),
-        jnp.take_along_axis(preds["enc_boxes"], preds["topk_idx"][..., None], axis=1),
+        enc_logits_q, enc_boxes_q,
         tgt_boxes, bin_labels, tgt_mask, num_boxes, mw,
         full_logits=preds["enc_logits"], topk_idx=preds["topk_idx"],
+        assign=assign_all[0],
     )
-    losses.update({k + "_enc": v for k, v in enc.items()})
+    losses.update({k_ + "_enc": v for k_, v in enc.items()})
 
-    d = preds["dec_logits"].shape[0]
     for i in range(d):
         li = detr_set_loss(
             preds["dec_logits"][i], preds["dec_boxes"][i],
             tgt_boxes, tgt_labels, tgt_mask, num_boxes, mw,
+            assign=assign_all[1 + i],
         )
         suffix = "" if i == d - 1 else f"_{i}"
-        losses.update({k + suffix: v for k, v in li.items()})
+        losses.update({k_ + suffix: v for k_, v in li.items()})
 
     losses["loss"] = sum(losses.values())
+    if return_assign:
+        return losses, assign_all[-1]
     return losses
 
 
