@@ -993,7 +993,6 @@ def _rank_kernel_seq4(seeds_ref, rowmax_ref, qT_ref, keys_ref, out_ref, wpos,
         wpos[0] = rstar
 
 
-@functools.partial(jax.jit, static_argnames=("nb", "seq"))
 def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
                      seq: bool = True):
     """keys [Vk] i32 sorted ascending (entries ≥ INVALID_Q = padding);
@@ -1003,8 +1002,22 @@ def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
     caller masks them. `count` is exactly searchsorted-left, monotone per
     row, so the result is a valid anchor-format rulebook row.
 
-    `seq=True` (default): windows tracked in-kernel (one host searchsorted
-    per PAIR); `seq=False`: per-band windows from a host searchsorted."""
+    `seq=True` (default): impl picked by EFG_RANK_IMPL (seq4/seq);
+    `seq=False`: per-band windows from a host searchsorted (hostwin).
+    Impl is resolved HERE (not inside the jitted core) so monkeypatching
+    the module global retraces instead of hitting a stale jit cache.
+
+    A straight-line "flat" variant (host-seeded static nr-row windows, no
+    in-kernel loop control) was built and measured on TPU 2026-08-19: 14.2
+    ms vs seq's 10.5 ms at the stage-0 Waymo shape — per-band loop CONTROL
+    is not the dominant cost, so the variant was deleted."""
+    impl = _RANK_IMPL if seq else "hostwin"
+    return _merge_rank_flags_impl(keys, queries, nb=nb, impl=impl)
+
+
+@functools.partial(jax.jit, static_argnames=("nb", "impl"))
+def _merge_rank_flags_impl(keys: jax.Array, queries: jax.Array, *, nb: int,
+                           impl: str):
     vk = keys.shape[0]
     p, vq = queries.shape
     keys_c = jnp.minimum(keys, _CLAMP_Q)
@@ -1023,7 +1036,7 @@ def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
     nbands = vqp // 128
     qT = qp.reshape(p, nt, nb, 128).transpose(0, 1, 3, 2).reshape(p * nt, 128, nb)
 
-    if seq and _RANK_IMPL == "seq4":
+    if impl == "seq4":
         # 512-key super-chunks: most bands resolve in ONE while iteration
         kr4 = _cdiv(vk, 512)
         keys2d4 = jnp.pad(
@@ -1061,7 +1074,7 @@ def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
             out_shape=jax.ShapeDtypeStruct((p * nt, 128, nb), jnp.int32),
             interpret=_INTERPRET,
         )(seeds, rowmax, qT, keys2d4)
-    elif seq:
+    elif impl == "seq":
         flat = keys2d.reshape(-1)
         seeds = (
             jnp.maximum(
