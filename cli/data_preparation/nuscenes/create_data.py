@@ -42,8 +42,13 @@ def _transform(rotation, translation) -> np.ndarray:
 def _load_tables(root: str, version: str) -> Dict[str, Dict[str, dict]]:
     tables = {}
     for name in ("sample", "sample_data", "ego_pose", "calibrated_sensor",
-                 "sample_annotation", "scene", "category", "instance"):
-        with open(os.path.join(root, version, f"{name}.json")) as f:
+                 "sample_annotation", "scene", "category", "instance",
+                 "attribute"):
+        path = os.path.join(root, version, f"{name}.json")
+        if name == "attribute" and not os.path.exists(path):
+            tables[name] = {}  # optional table (absent in stripped dumps)
+            continue
+        with open(path) as f:
             rows = json.load(f)
         tables[name] = {r["token"]: r for r in rows}
     return tables
@@ -108,9 +113,14 @@ def build_infos(
                 }
             )
 
-        boxes, names, velocities = [], [], []
+        boxes, names, velocities, attrs = [], [], [], []
         for ann_token in sample["anns"]:
             ann = t["sample_annotation"][ann_token]
+            # nuScenes anns carry 0 or 1 attribute; '' when none
+            atoks = ann.get("attribute_tokens") or []
+            attrs.append(
+                t["attribute"].get(atoks[0], {}).get("name", "") if atoks else ""
+            )
             # global → lidar frame
             center = ref_from_global[:3, :3] @ np.asarray(ann["translation"]) + ref_from_global[:3, 3]
             rot = ref_from_global[:3, :3] @ _quat_to_rot(ann["rotation"])
@@ -137,6 +147,7 @@ def build_infos(
         annotations = {
             "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 9),
             "gt_names": np.asarray(names),
+            "gt_attrs": np.asarray(attrs),
         }
         if occ_ann is not None:
             scene_name = t["scene"][sample["scene_token"]]["name"]

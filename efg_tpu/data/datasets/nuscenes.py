@@ -47,6 +47,49 @@ GENERAL_TO_DETECTION = {
 }
 
 
+# Per-class attribute frequency priors over the nuScenes trainset
+# (reference `efg/data/datasets/nuscenes/utils.py:32-155` `cls_attr_dist`;
+# zero-count attributes omitted). Used by the evaluator's attribute
+# assignment fallback: when the velocity rule doesn't decide, the most
+# frequent attribute for the class is predicted.
+CLS_ATTR_DIST = {
+    "barrier": {},
+    "traffic_cone": {},
+    "bicycle": {"cycle.with_rider": 2791, "cycle.without_rider": 8946},
+    "motorcycle": {"cycle.with_rider": 4233, "cycle.without_rider": 8326},
+    "pedestrian": {
+        "pedestrian.moving": 157444,
+        "pedestrian.sitting_lying_down": 13939,
+        "pedestrian.standing": 46530,
+    },
+    "car": {
+        "vehicle.moving": 114304,
+        "vehicle.parked": 330133,
+        "vehicle.stopped": 46898,
+    },
+    "bus": {
+        "vehicle.moving": 9092,
+        "vehicle.parked": 3294,
+        "vehicle.stopped": 3881,
+    },
+    "construction_vehicle": {
+        "vehicle.moving": 882,
+        "vehicle.parked": 11549,
+        "vehicle.stopped": 2102,
+    },
+    "trailer": {
+        "vehicle.moving": 3421,
+        "vehicle.parked": 19224,
+        "vehicle.stopped": 1895,
+    },
+    "truck": {
+        "vehicle.moving": 21339,
+        "vehicle.parked": 55626,
+        "vehicle.stopped": 11097,
+    },
+}
+
+
 def read_file(path: str, num_point_feature: int = 4):
     data = PathManager.open(path, "rb").read()
     points = np.copy(np.frombuffer(data, np.float32))

@@ -9,11 +9,18 @@ protocol is computed directly:
   official normalization (integrate precision over recall ∈ [0.1, 1],
   subtract the 0.1 floor, /0.9)
 - TP metrics at the 2.0 m threshold: ATE (m), ASE (1−IoU of aligned
-  boxes), AOE (rad), AVE (m/s)
-- NDS = [5·mAP + Σ_tp (1 − min(1, err))] / 10. Deviation: AAE (attribute
-  error) requires attribute predictions the detection head doesn't
-  produce; it is counted as 1 (worst case), so reported NDS is a lower
-  bound; `NDS_no_attr` excludes it entirely.
+  boxes), AOE (rad), AVE (m/s), AAE (1 − attribute accuracy)
+- NDS = [5·mAP + Σ_tp (1 − min(1, err))] / 10
+
+Predicted attributes follow the reference's velocity rule + per-class
+frequency priors (`efg/evaluator/nuscenes_evaluator.py:136-162`): speed
+> 0.2 m/s → vehicle.moving / cycle.with_rider; else pedestrian.standing /
+vehicle.stopped (bus); otherwise the most frequent trainset attribute for
+the class (`cls_attr_dist`). GT attributes come from the `gt_attrs` info
+field (cli/data_preparation/nuscenes/create_data.py); GTs without an
+attribute are skipped, as in the devkit. Barrier and traffic cone are
+excluded from AAE/AVE (and cone from AOE), matching the devkit's
+per-class metric exclusions.
 
 Boxes are compared in the EFG lidar frame (the reference transforms to the
 global frame first — a rigid transform per frame, distance-invariant, so
@@ -50,13 +57,38 @@ def _yaw_diff(a: float, b: float, period: float = 2 * np.pi) -> float:
     return min(d, period - d)
 
 
+def assign_attribute(cname: str, speed: float) -> str:
+    """Predicted attribute for a detection: the reference's velocity rule
+    with a class-frequency-prior fallback (ref `nuscenes_evaluator.py:
+    136-162`)."""
+    from efg_tpu.data.datasets.nuscenes import CLS_ATTR_DIST
+
+    n = cname.lower()
+    if speed > 0.2:
+        if n in ("car", "construction_vehicle", "bus", "truck", "trailer"):
+            return "vehicle.moving"
+        if n in ("bicycle", "motorcycle"):
+            return "cycle.with_rider"
+    else:
+        if n == "pedestrian":
+            return "pedestrian.standing"
+        if n == "bus":
+            return "vehicle.stopped"
+    dist = CLS_ATTR_DIST.get(n, {})
+    return max(dist.items(), key=lambda kv: kv[1])[0] if dist else ""
+
+
 class _ClassAccumulator:
-    def __init__(self, yaw_period: float = 2 * np.pi, use_orient: bool = True):
-        # official per-class rules: barriers match modulo pi, traffic cones
-        # have no orientation error (devkit class_range/attribute tables)
+    def __init__(self, yaw_period: float = 2 * np.pi, use_orient: bool = True,
+                 use_vel: bool = True, use_attr: bool = True):
+        # official per-class rules (devkit): barriers match modulo pi and
+        # have no velocity/attribute error; traffic cones have no
+        # orientation/velocity/attribute error
         self.frames: List[dict] = []
         self.yaw_period = yaw_period
         self.use_orient = use_orient
+        self.use_vel = use_vel
+        self.use_attr = use_attr
 
     def ap_and_tp(self) -> Dict[str, float]:
         out: Dict[str, float] = {}
@@ -65,11 +97,15 @@ class _ClassAccumulator:
             return {f"AP@{t}": float("nan") for t in DIST_THRESHOLDS}
         for thr in DIST_THRESHOLDS:
             scores, tps = [], []
-            errs = dict(trans=[], scale=[], orient=[], vel=[])
+            errs = dict(trans=[], scale=[], orient=[], vel=[], attr=[])
             for f in self.frames:
                 det, sc, gt = f["det"], f["scores"], f["gt"]
+                det_attr = f.get("det_attr")
+                gt_attr = f.get("gt_attr")
                 order = np.argsort(-sc)
                 det, sc = det[order], sc[order]
+                if det_attr is not None and len(det_attr):
+                    det_attr = np.asarray(det_attr)[order]
                 taken = np.zeros(gt.shape[0], bool)
                 tp = np.zeros(len(det), bool)
                 for i in range(len(det)):
@@ -89,7 +125,14 @@ class _ClassAccumulator:
                                     _yaw_diff(det[i, -1], gt[j, -1],
                                               period=self.yaw_period)
                                 )
-                            errs["vel"].append(float(np.linalg.norm(gt[j, 6:8] - det[i, 6:8])))
+                            if self.use_vel:
+                                errs["vel"].append(float(np.linalg.norm(gt[j, 6:8] - det[i, 6:8])))
+                            # devkit: attr error only over TPs whose GT
+                            # carries an attribute
+                            if (self.use_attr and gt_attr is not None
+                                    and j < len(gt_attr) and gt_attr[j]):
+                                pred = det_attr[i] if det_attr is not None and i < len(det_attr) else ""
+                                errs["attr"].append(0.0 if pred == gt_attr[j] else 1.0)
                 scores.append(sc)
                 tps.append(tp)
             scores = np.concatenate(scores) if scores else np.zeros(0)
@@ -109,8 +152,11 @@ class _ClassAccumulator:
             prec = np.clip(prec - 0.1, 0, None)
             out[f"AP@{thr}"] = float(prec.mean() / 0.9)
             if thr == TP_THRESHOLD:
+                enabled = dict(trans=True, scale=True, orient=self.use_orient,
+                               vel=self.use_vel, attr=self.use_attr)
                 for k, v in errs.items():
-                    out[k.upper()] = float(np.mean(v)) if v else 1.0
+                    if enabled[k]:  # excluded metrics don't enter the mean
+                        out[k.upper()] = float(np.mean(v)) if v else 1.0
         return out
 
 
@@ -123,9 +169,13 @@ class nuScenesDetEvaluator(DatasetEvaluator):
     @staticmethod
     def _make_acc(cname: str) -> _ClassAccumulator:
         n = cname.lower()
+        is_barrier = "barrier" in n
+        is_cone = "traffic_cone" in n or n == "cone"
         return _ClassAccumulator(
-            yaw_period=np.pi if "barrier" in n else 2 * np.pi,
-            use_orient="traffic_cone" not in n and "cone" != n,
+            yaw_period=np.pi if is_barrier else 2 * np.pi,
+            use_orient=not is_cone,
+            use_vel=not (is_barrier or is_cone),
+            use_attr=not (is_barrier or is_cone),
         )
 
     def reset(self):
@@ -141,11 +191,23 @@ class nuScenesDetEvaluator(DatasetEvaluator):
             anno = inputs["annotations"][b] or {}
             gt_boxes = np.asarray(anno.get("gt_boxes", np.zeros((0, 9))))
             gt_labels = np.asarray(anno.get("labels", np.zeros(0, np.int64)))
+            gt_attrs = np.asarray(anno.get("gt_attrs", np.full(len(gt_boxes), "")))
+            # predicted attribute: velocity rule + class priors. 9-dim
+            # boxes carry (vx, vy) at cols 6:8; 7-dim boxes have no
+            # velocity head → speed 0 (prior fallback decides)
+            has_vel = boxes.shape[-1] >= 9
             for ci, cname in enumerate(self.class_names):
                 dm = labels == ci + 1
                 gm = gt_labels == ci + 1
+                db = boxes[dm]
+                speeds = (np.linalg.norm(db[:, 6:8], axis=1)
+                          if has_vel and len(db) else np.zeros(len(db)))
+                det_attr = np.asarray(
+                    [assign_attribute(cname, float(s)) for s in speeds]
+                )
                 self._acc[cname].frames.append(
-                    dict(det=boxes[dm], scores=scores[dm], gt=gt_boxes[gm])
+                    dict(det=db, scores=scores[dm], gt=gt_boxes[gm],
+                         det_attr=det_attr, gt_attr=gt_attrs[gm])
                 )
 
     def evaluate(self):
@@ -158,7 +220,8 @@ class nuScenesDetEvaluator(DatasetEvaluator):
                 merged[c].frames.extend(frames)
 
         results: Dict[str, float] = {}
-        aps, tp_errs = [], dict(TRANS=[], SCALE=[], ORIENT=[], VEL=[])
+        aps = []
+        tp_errs = dict(TRANS=[], SCALE=[], ORIENT=[], VEL=[], ATTR=[])
         for c in self.class_names:
             r = merged[c].ap_and_tp()
             cls_aps = [r[f"AP@{t}"] for t in DIST_THRESHOLDS]
@@ -176,7 +239,6 @@ class nuScenesDetEvaluator(DatasetEvaluator):
         results["nusc/mASE"] = float(np.mean(tp_errs["SCALE"])) if tp_errs["SCALE"] else 1.0
         results["nusc/mAOE"] = float(np.mean(tp_errs["ORIENT"])) if tp_errs["ORIENT"] else 1.0
         results["nusc/mAVE"] = float(np.mean(tp_errs["VEL"])) if tp_errs["VEL"] else 1.0
-        # AAE counted worst-case (no attribute head) → NDS is a lower bound
-        results["nusc/NDS"] = (5 * mAP + sum(tp_terms) + 0.0) / 10.0
-        results["nusc/NDS_no_attr"] = (5 * mAP + sum(tp_terms)) / 9.0
+        results["nusc/mAAE"] = float(np.mean(tp_errs["ATTR"])) if tp_errs["ATTR"] else 1.0
+        results["nusc/NDS"] = (5 * mAP + sum(tp_terms)) / 10.0
         return results

@@ -169,3 +169,89 @@ def test_nuscenes_ap_vs_independent_devkit_model():
             got[f"AP@{thr}"], devkit_ap(thr), atol=1e-9,
             err_msg=f"thr={thr}",
         )
+
+
+def test_nuscenes_attribute_assignment_rule():
+    """Reference velocity rule + class priors
+    (`efg/evaluator/nuscenes_evaluator.py:136-162`)."""
+    from efg_tpu.evaluator.nuscenes_evaluator import assign_attribute
+
+    assert assign_attribute("car", 0.5) == "vehicle.moving"
+    assert assign_attribute("truck", 1.0) == "vehicle.moving"
+    assert assign_attribute("bicycle", 1.0) == "cycle.with_rider"
+    assert assign_attribute("bicycle", 0.0) == "cycle.without_rider"  # prior argmax
+    assert assign_attribute("car", 0.0) == "vehicle.parked"  # prior argmax
+    assert assign_attribute("bus", 0.0) == "vehicle.stopped"
+    assert assign_attribute("pedestrian", 0.1) == "pedestrian.standing"
+    assert assign_attribute("pedestrian", 0.5) == "pedestrian.moving"  # prior argmax
+    assert assign_attribute("traffic_cone", 1.0) == ""
+    assert assign_attribute("barrier", 0.0) == ""
+
+
+def test_nuscenes_aae_changes_nds():
+    """Hand-built fixture: perfect boxes, varying GT attributes — AAE must
+    be computed for real and move NDS."""
+    from types import SimpleNamespace
+
+    from efg_tpu.evaluator.nuscenes_evaluator import nuScenesDetEvaluator
+
+    cfg = SimpleNamespace(dataset=SimpleNamespace(classes=["car", "pedestrian"]))
+
+    def run(gt_attrs):
+        ev = nuScenesDetEvaluator(cfg, None)
+        gt = np.zeros((3, 9), np.float32)
+        gt[:, :2] = [[0, 0], [10, 0], [0, 10]]
+        gt[:, 3:6] = [[4, 2, 1.6], [4, 2, 1.6], [0.8, 0.8, 1.8]]
+        gt[0, 6:8] = [1.0, 0.0]  # moving car
+        labels = np.array([1, 1, 2], np.int64)  # car, car, pedestrian
+        inputs = {"annotations": [dict(gt_boxes=gt, labels=labels,
+                                       gt_attrs=np.asarray(gt_attrs))]}
+        outputs = {
+            "valid": np.ones((1, 3), bool)[None][0],
+            "box3d": gt[None],
+            "scores": np.array([[0.9, 0.8, 0.85]], np.float32),
+            "labels": labels[None],
+        }
+        ev.process(inputs, outputs)
+        return ev.evaluate()
+
+    # predicted attrs: car@speed1 -> vehicle.moving, car@0 -> vehicle.parked
+    # (prior), ped@0 -> pedestrian.standing
+    r_match = run(["vehicle.moving", "vehicle.parked", "pedestrian.standing"])
+    assert r_match["nusc/mAAE"] == pytest.approx(0.0, abs=1e-9)
+
+    r_miss = run(["vehicle.moving", "vehicle.stopped", "pedestrian.standing"])
+    # car class: 1 of 2 attributed TPs wrong -> class AAE 0.5; ped 0.0
+    assert r_miss["nusc/mAAE"] == pytest.approx(0.25, abs=1e-9)
+    assert r_miss["nusc/NDS"] < r_match["nusc/NDS"]
+    # the 0.25 attribute error costs exactly 0.025 NDS
+    assert r_match["nusc/NDS"] - r_miss["nusc/NDS"] == pytest.approx(0.025, abs=1e-9)
+
+    # GTs without attributes are skipped (devkit rule): attribute error
+    # stays 0 when only unattributed GTs would have mismatched
+    r_skip = run(["vehicle.moving", "", "pedestrian.standing"])
+    assert r_skip["nusc/mAAE"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_nuscenes_barrier_cone_excluded_from_attr_vel():
+    from types import SimpleNamespace
+
+    from efg_tpu.evaluator.nuscenes_evaluator import nuScenesDetEvaluator
+
+    cfg = SimpleNamespace(dataset=SimpleNamespace(classes=["barrier", "traffic_cone"]))
+    ev = nuScenesDetEvaluator(cfg, None)
+    gt = np.zeros((2, 9), np.float32)
+    gt[:, :2] = [[0, 0], [5, 0]]
+    gt[:, 3:6] = 1.0
+    labels = np.array([1, 2], np.int64)
+    ev.process(
+        {"annotations": [dict(gt_boxes=gt, labels=labels,
+                              gt_attrs=np.asarray(["", ""]))]},
+        {"valid": np.ones((1, 2), bool), "box3d": gt[None],
+         "scores": np.array([[0.9, 0.9]], np.float32), "labels": labels[None]},
+    )
+    r = ev.evaluate()
+    # no attribute/velocity-capable class present -> worst-case constants
+    assert r["nusc/mAAE"] == 1.0
+    assert r["nusc/mAVE"] == 1.0
+    assert r["nusc/mAP"] > 0.95
