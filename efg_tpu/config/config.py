@@ -200,6 +200,12 @@ def load_yaml(path: str) -> dict:
 # ---------------------------------------------------------------------------
 
 def _decode_value(text: str) -> Any:
+    # YAML scalar words first (omegaconf semantics): null/true/false/...
+    low = text.strip().lower()
+    if low in ("null", "none", "~", ""):
+        return None
+    if low in ("true", "false"):
+        return low == "true"
     try:
         return ast.literal_eval(text)
     except (ValueError, SyntaxError):

@@ -184,6 +184,19 @@ class DataLoader:
         self.num_workers = num_workers
         self.seed = seed
         self.drop_last = drop_last
+        # Resume fast-forward: iterators skip the first `start_batch`
+        # batches by discarding sampler indices (no item fetch, no
+        # transform replay). With a seed set, augmentation RNG is derived
+        # per item ORDINAL (see _seed_for), so the post-skip stream is
+        # bit-identical to an uninterrupted run's.
+        self.start_batch = 0
+
+    def _seed_for(self, ordinal: int) -> int:
+        """Deterministic per-item RNG stream: item k's augmentations draw
+        from seed f(loader_seed, k) regardless of what ran before — the
+        foundation for exact checkpoint-resume continuity and for
+        order-independent multi-worker loading."""
+        return (self.seed * 1_000_003 + ordinal * 7_368_787) % (2**31 - 1)
 
     def __len__(self) -> int:
         try:
@@ -194,10 +207,29 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _fetch(self, idx: int, ordinal: int):
+        if self.seed is not None:
+            seed_all_rng(self._seed_for(ordinal))
+        return self.dataset[idx]
+
+    def _skipped_indices(self):
+        """Fresh sampler iterator with the first start_batch batches of
+        indices discarded; returns (iterator, first_ordinal)."""
+        it = iter(self.sampler)
+        n_skip = self.start_batch * self.batch_size
+        for _ in range(n_skip):
+            try:
+                next(it)
+            except StopIteration:
+                break
+        return it, n_skip
+
     def _iter_sequential(self) -> Iterator[Dict[str, Any]]:
         buf = []
-        for idx in self.sampler:
-            buf.append(self.dataset[idx])
+        it, ordinal = self._skipped_indices()
+        for idx in it:
+            buf.append(self._fetch(idx, ordinal))
+            ordinal += 1
             if len(buf) == self.batch_size:
                 yield collate_fixed(buf, self.max_gt)
                 buf = []
@@ -208,7 +240,8 @@ class DataLoader:
 
     def _iter_threaded(self) -> Iterator[Dict[str, Any]]:
         out_q: "queue.Queue" = queue.Queue(maxsize=4)
-        idx_iter = iter(self.sampler)
+        idx_iter, base_ordinal = self._skipped_indices()
+        counter = [base_ordinal]
         lock = threading.Lock()
         stop = threading.Event()
 
@@ -218,14 +251,19 @@ class DataLoader:
             while not stop.is_set():
                 items = []
                 with lock:
+                    ordinal0 = counter[0]
                     try:
                         for _ in range(self.batch_size):
                             items.append(next(idx_iter))
+                            counter[0] += 1
                     except StopIteration:
                         break
                 if len(items) < self.batch_size:
                     break
-                batch = collate_fixed([self.dataset[i] for i in items], self.max_gt)
+                batch = collate_fixed(
+                    [self._fetch(i, ordinal0 + k) for k, i in enumerate(items)],
+                    self.max_gt,
+                )
                 out_q.put(batch)
             out_q.put(None)
 
