@@ -1018,6 +1018,10 @@ def merge_rank_flags(keys: jax.Array, queries: jax.Array, *, nb: int = 8,
 @functools.partial(jax.jit, static_argnames=("nb", "impl"))
 def _merge_rank_flags_impl(keys: jax.Array, queries: jax.Array, *, nb: int,
                            impl: str):
+    if impl not in ("seq", "seq4", "hostwin"):
+        raise ValueError(
+            f"EFG_RANK_IMPL={impl!r}: expected one of 'seq', 'seq4', 'hostwin'"
+        )
     vk = keys.shape[0]
     p, vq = queries.shape
     keys_c = jnp.minimum(keys, _CLAMP_Q)

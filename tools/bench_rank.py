@@ -56,7 +56,9 @@ def timed(name, fn, *args, n=N):
     t0 = time.perf_counter()
     _ = float(run(args))
     dt = (time.perf_counter() - t0) / n
-    print(f"{name:56s} {dt * 1e3:9.3f} ms/iter  (compile {tc:.1f}s)", flush=True)
+    # tc includes one full n-iteration timed run (the first call both
+    # compiles and executes), so label it "first call", not "compile"
+    print(f"{name:56s} {dt * 1e3:9.3f} ms/iter  (first call {tc:.1f}s)", flush=True)
     return dt
 
 

@@ -1,7 +1,11 @@
 """Device-trace build_monotone_rule9 alone and print per-op times.
 
-The r4 rank micro-bench shows the merge_rank_flags custom-call is ~0.7 ms
-but the full builder is ~9.5 ms — this itemizes the XLA glue around it.
+NOTE on an earlier misreading this script exists to prevent: timing the
+builder inside a lax.scan over CONSTANT inputs lets XLA CSE the body, so
+the "per-iter" time is total/N (bogus — it once read ~0.7 ms for the
+merge custom-call). With the key-perturbation below feeding fresh inputs
+each iteration, the honest figure is ~8.6 ms/call for the merge
+custom-call at Waymo s0 shapes (see docs/PARITY.md round-4 notes).
 """
 
 from __future__ import annotations
