@@ -157,3 +157,186 @@ def jax_tree_to_numpy(tree):
     if isinstance(tree, dict) or hasattr(tree, "items"):
         return {k: jax_tree_to_numpy(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+# ---------------------------------------------------------------------------
+# CenterPoint VoxelNet whole-model name mapping. Reference naming:
+#   trunk  `efg/modeling/backbones/sparse_net.py:473-545` (SpMiddleResNetFHD:
+#          conv_input / conv1..conv4 SparseSequentials / extra_conv)
+#   neck   `efg/modeling/backbones/configurable_rpn.py:13-123` (blocks.{i}
+#          Sequential: ZeroPad, Conv, norm, ReLU, then 3 entries per layer;
+#          deblocks.{i}: ConvTranspose2d|Conv2d + norm + ReLU)
+#   head   playground `center_head.py` (shared_conv Sequential + tasks.{t}
+#          SepHead with per-head fc Sequentials: conv, bn, ReLU, ..., final)
+# Capability twin of the reference's d2/C2 converter
+# (`efg/utils/d2_model_loading.py:11`, `checkpoint.py:58-157`) for the 3D
+# family; enables transplanting reference-trained `.pth` checkpoints for
+# decode-parity testing and fine-tuning.
+# ---------------------------------------------------------------------------
+
+_BN_LEAF = {"weight": "scale", "bias": "bias",
+            "running_mean": "mean", "running_var": "var"}
+
+
+def _sparse_weight_to_flax(v: np.ndarray, layout: str) -> np.ndarray:
+    """spconv weight → flax [K, Cin, Cout] (offsets row-major over
+    (kd, kh, kw), matching `ops/sparse.py::_offsets`).
+
+    spconv 2.x stores [Cout, kd, kh, kw, Cin]; spconv 1.x [kd, kh, kw,
+    Cin, Cout]."""
+    if v.ndim != 5:
+        raise ValueError(f"expected 5-dim sparse conv weight, got {v.shape}")
+    if layout == "spconv2":
+        v = v.transpose(1, 2, 3, 4, 0)
+    elif layout != "spconv1":
+        raise ValueError(f"sparse_layout={layout!r}: expected spconv1|spconv2")
+    return np.ascontiguousarray(v.reshape(-1, v.shape[3], v.shape[4]))
+
+
+def _deconv_weight_to_flax(v: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d [Cin, Cout, kh, kw] → flax ConvTranspose
+    [kh, kw, Cin, Cout]. torch's transposed conv is the gradient of a conv
+    (kernel spatially flipped relative to `lax.conv_transpose`), so flip
+    the spatial dims."""
+    return np.ascontiguousarray(v.transpose(2, 3, 0, 1)[::-1, ::-1])
+
+
+def import_centerpoint_voxelnet(
+    sd: Dict[str, np.ndarray],
+    variables: Dict[str, Any],
+    *,
+    sparse_layout: str = "spconv2",
+) -> Tuple[Dict[str, Any], int, list]:
+    """Transplant a reference-format CenterPoint VoxelNet state dict
+    (reader/backbone/neck/center_head naming, see module-level comment)
+    into `efg_tpu.models.centerpoint.VoxelNet` variables.
+
+    Returns (new_variables, n_assigned, skipped_keys)."""
+    import copy
+
+    variables = copy.deepcopy(
+        {k: jax_tree_to_numpy(v) for k, v in variables.items()}
+    )
+    sd = strip_prefix(sd)
+
+    # SepHead fc Sequentials: the LAST index per (task, head) is the final
+    # conv; hidden convs sit at 3j (bn at 3j+1) — infer num_conv from keys.
+    head_max: Dict[Tuple[str, str], int] = {}
+    for key in sd:
+        parts = key.split(".")
+        if len(parts) >= 5 and parts[0] == "center_head" and parts[1] == "tasks":
+            t, h, idx = parts[2], parts[3], int(parts[4])
+            head_max[(t, h)] = max(head_max.get((t, h), -1), idx)
+
+    def _block_inner(base: str, rest: list) -> Tuple[str, str] | None:
+        """SparseBasicBlock member → (flax base path, kind)."""
+        name, leaf = rest[0], rest[1]
+        if name in ("conv1", "conv2"):
+            if leaf == "weight":
+                return f"{base}.{name}", "sparse"
+            return f"{base}.{name}", "bias_leaf"
+        if name == "bn1":
+            return f"{base}.bn1.bn", "bn"
+        if name == "bn2":
+            return f"{base}.bn2", "bn"
+        return None
+
+    def rename(key: str) -> Tuple[str, str] | None:
+        parts = key.split(".")
+        if parts[-1] == "num_batches_tracked":
+            return "", "drop"
+        if parts[0] == "backbone":
+            p = parts[1:]
+            if p[0] == "conv_input":
+                return (("backbone.conv_input", "sparse") if p[1] == "0"
+                        else ("backbone.bn_input.bn", "bn"))
+            if p[0] == "extra_conv":
+                return (("backbone.extra_conv", "sparse") if p[1] == "0"
+                        else ("backbone.bn_extra.bn", "bn"))
+            if p[0] == "conv1":  # stage 0: blocks only
+                return _block_inner(f"backbone.res0{'ab'[int(p[1])]}", p[2:])
+            if p[0] in ("conv2", "conv3", "conv4"):
+                s = int(p[0][4:]) - 1  # 1..3
+                idx = int(p[1])
+                if idx == 0:
+                    return f"backbone.down{s}", "sparse"
+                if idx == 1:
+                    return f"backbone.bn_down{s}.bn", "bn"
+                if idx in (3, 4):
+                    return _block_inner(f"backbone.res{s}{'ab'[idx - 3]}", p[2:])
+            return None
+        if parts[0] == "neck":
+            p = parts[1:]
+            if p[0] == "blocks":
+                i, j = int(p[1]), int(p[2])
+                if j == 1:
+                    return f"neck.block{i}_in.Conv_0", "conv"
+                if j == 2:
+                    return f"neck.block{i}_in.BatchNorm_0", "bn"
+                if j >= 4 and (j - 4) % 3 == 0:
+                    return f"neck.block{i}_conv{(j - 4) // 3}.Conv_0", "conv"
+                if j >= 5 and (j - 5) % 3 == 0:
+                    return f"neck.block{i}_conv{(j - 5) // 3}.BatchNorm_0", "bn"
+            if p[0] == "deblocks":
+                i, j = int(p[1]), int(p[2])
+                if j == 0:
+                    # stride>1 → ConvTranspose (deblock{i}_deconv);
+                    # stride==1 → plain Conv (deblock{i}_conv)
+                    tgt = variables.get("params", {}).get("neck", {})
+                    if f"deblock{i}_deconv" in tgt:
+                        return f"neck.deblock{i}_deconv", "deconv"
+                    return f"neck.deblock{i}_conv", "conv"
+                if j == 1:
+                    return f"neck.deblock{i}_bn", "bn"
+            return None
+        if parts[0] == "center_head":
+            p = parts[1:]
+            if p[0] == "shared_conv":
+                return (("head.shared_conv", "conv") if p[1] == "0"
+                        else ("head.shared_bn", "bn"))
+            if p[0] == "tasks":
+                t, h, idx = p[1], p[2], int(p[3])
+                last = head_max[(t, h)]
+                if idx == last:
+                    return f"head.task{t}.{h}_final", "conv"
+                if idx % 3 == 0:
+                    return f"head.task{t}.{h}_conv{idx // 3}", "conv"
+                if idx % 3 == 1:
+                    return f"head.task{t}.{h}_bn{idx // 3}", "bn"
+        return None
+
+    n, skipped = 0, []
+    for key, val in sd.items():
+        r = rename(key)
+        if r is None:
+            skipped.append(key)
+            continue
+        base, kind = r
+        if kind == "drop":
+            n += 1
+            continue
+        leaf = key.split(".")[-1]
+        coll, arr, path = "params", val, None
+        if kind == "bn":
+            sub = _BN_LEAF.get(leaf)
+            if sub is None:
+                skipped.append(key)
+                continue
+            coll = "batch_stats" if sub in ("mean", "var") else "params"
+            path = f"{base}.{sub}"
+        elif kind == "sparse":
+            path = f"{base}.kernel"
+            arr = _sparse_weight_to_flax(val, sparse_layout)
+        elif kind == "bias_leaf":
+            path = f"{base}.bias"
+        elif kind == "deconv":
+            path = f"{base}.kernel"
+            arr = _deconv_weight_to_flax(val)
+        elif kind == "conv":
+            k2, arr = convert_tensor(key, val)
+            path = f"{base}.{k2}"
+        if path is not None and assign_into_tree(variables.get(coll, {}), path, arr):
+            n += 1
+        else:
+            skipped.append(key)
+    return variables, n, skipped
