@@ -341,17 +341,23 @@ class DefaultTrainer:
             return
         if path.endswith((".pth", ".pkl")):
             # torch / d2 weight import (reference `checkpoint.py:58-157`,
-            # `d2_model_loading.py`): backbone init, not a resume point
-            from efg_tpu.utils.torch_import import (
-                import_torchvision_resnet,
-                load_state_dict,
-            )
+            # `d2_model_loading.py`): backbone init, not a resume point.
+            # model.weights_format picks the name map: torchvision-style
+            # ResNet (default), mmdet-style Swin, or a full reference
+            # CenterPoint VoxelNet state dict
+            from efg_tpu.utils import torch_import as TI
 
-            sd = load_state_dict(path)
+            sd = TI.load_state_dict(path)
             state = jax.device_get(self.state)
             variables = {"params": state.params, "batch_stats": state.batch_stats}
             prefix = self.config.model.get("weights_prefix", "backbone")
-            variables, n, skipped = import_torchvision_resnet(sd, variables, prefix)
+            fmt = self.config.model.get("weights_format", "resnet")
+            if fmt == "swin":
+                variables, n, skipped = TI.import_swin(sd, variables, prefix)
+            elif fmt == "centerpoint":
+                variables, n, skipped = TI.import_centerpoint_voxelnet(sd, variables)
+            else:
+                variables, n, skipped = TI.import_torchvision_resnet(sd, variables, prefix)
             logger.info(
                 f"Imported {n} tensors from {path} (prefix '{prefix}'); "
                 f"skipped {len(skipped)}: {skipped[:8]}"

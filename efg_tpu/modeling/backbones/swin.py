@@ -18,6 +18,9 @@ import numpy as np
 from flax import linen as nn
 
 _trunc = nn.initializers.truncated_normal(0.02)
+# torch LayerNorm default eps (flax default is 1e-6) — needed for
+# checkpoint-transplant parity with the reference swin
+_ln_eps = 1e-5
 
 
 def window_partition(x, ws: int):
@@ -98,14 +101,18 @@ class SwinBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        shift = self.shift if ws < min(h, w) else 0
+        # the reference port keeps the configured window size and shift at
+        # every map size, padding to window multiples and masking wrapped
+        # regions (swin.py:230-243 — it does NOT shrink the window on
+        # small maps the way official classification swin does)
+        ws = self.window_size
+        shift = self.shift
 
         # pad to window multiples (reference pads with F.pad, crops after)
         hp, wp = -(-h // ws) * ws, -(-w // ws) * ws
 
         shortcut = x
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=_ln_eps, name="norm1")(x)
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         if shift > 0:
             x = jnp.roll(x, (-shift, -shift), axis=(1, 2))
@@ -130,9 +137,9 @@ class SwinBlock(nn.Module):
         dp = DropPath(self.drop_path, name="drop_path")
         x = shortcut + dp(x, train)
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = nn.LayerNorm(epsilon=_ln_eps, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), kernel_init=_trunc, name="fc1")(y)
-        y = nn.Dense(self.dim, kernel_init=_trunc, name="fc2")(jax.nn.gelu(y))
+        y = nn.Dense(self.dim, kernel_init=_trunc, name="fc2")(jax.nn.gelu(y, approximate=False))
         return x + dp(y, train)
 
 
@@ -147,7 +154,7 @@ class PatchMerging(nn.Module):
             b, h, w, c = x.shape
         x = x.reshape(b, h // 2, 2, w // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
         x = x.reshape(b, h // 2, w // 2, 4 * c)
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=_ln_eps, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, kernel_init=_trunc, name="reduction")(x)
 
 
@@ -161,6 +168,8 @@ class SwinTransformer(nn.Module):
     patch_size: int = 4
     drop_path_rate: float = 0.0  # reference M2F-Swin config: 0.3
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
+    ape: bool = False  # absolute position embedding (reference swin.py:490)
+    pretrain_img_size: int = 224
 
     @nn.compact
     def __call__(self, images, train: bool) -> Dict[str, jax.Array]:
@@ -168,7 +177,21 @@ class SwinTransformer(nn.Module):
             self.embed_dim, (self.patch_size, self.patch_size),
             strides=self.patch_size, kernel_init=_trunc, name="patch_embed",
         )(images)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=_ln_eps, name="patch_norm")(x)
+        if self.ape:
+            # APE lives at the pretrain patch resolution and is resized to
+            # the actual map (reference swin.py forward: F.interpolate
+            # bicubic, applied AFTER the patch-embed norm); stored NHWC
+            hp0 = self.pretrain_img_size // self.patch_size
+            pos = self.param(
+                "absolute_pos_embed", _trunc, (1, hp0, hp0, self.embed_dim)
+            )
+            if pos.shape[1:3] != x.shape[1:3]:
+                pos = jax.image.resize(
+                    pos, (1, x.shape[1], x.shape[2], self.embed_dim),
+                    method="cubic",
+                )
+            x = x + pos
 
         # linear stochastic-depth schedule over the flattened block index
         total = sum(self.depths)
@@ -188,7 +211,7 @@ class SwinTransformer(nn.Module):
                 blk_i += 1
             name = f"res{stage + 2}"
             if name in self.out_features:
-                outputs[name] = nn.LayerNorm(name=f"out_norm{stage}")(x)
+                outputs[name] = nn.LayerNorm(epsilon=_ln_eps, name=f"out_norm{stage}")(x)
             if stage < len(self.depths) - 1:
                 x = PatchMerging(dim, name=f"merge{stage}")(x)
                 dim *= 2

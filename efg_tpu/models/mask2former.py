@@ -173,13 +173,23 @@ class Mask2Former(nn.Module):
     depth: int = 50
     freeze_at: int = 0
     mask_threshold_for_attn: float = 0.5
+    backbone: str = "resnet"  # resnet | swin (reference D2SwinTransformer)
+    swin_cfg: Any = ()  # kwargs for SwinTransformer (embed_dim, depths, ...)
 
     @nn.compact
     def __call__(self, images, train: bool) -> Dict[str, Any]:
-        feats = ResNet(
-            depth=self.depth, out_features=("res2", "res3", "res4", "res5"),
-            freeze_at=self.freeze_at, name="backbone",
-        )(images, train)
+        if self.backbone == "swin":
+            from efg_tpu.modeling.backbones.swin import SwinTransformer
+
+            feats = SwinTransformer(
+                out_features=("res2", "res3", "res4", "res5"),
+                name="backbone", **dict(self.swin_cfg),
+            )(images, train)
+        else:
+            feats = ResNet(
+                depth=self.depth, out_features=("res2", "res3", "res4", "res5"),
+                freeze_at=self.freeze_at, name="backbone",
+            )(images, train)
         mask_features, scales = PixelDecoder(
             self.d_model, mask_dim=self.d_model, name="pixel_decoder"
         )(feats, train)

@@ -160,6 +160,111 @@ def jax_tree_to_numpy(tree):
 
 
 # ---------------------------------------------------------------------------
+# Swin Transformer pretrained import. Reference naming (mmdet-style port,
+# `playground/panoptic_seg/coco/mask2former/.../backbone/swin.py:470-645`):
+#   patch_embed.proj / patch_embed.norm / absolute_pos_embed /
+#   layers.{i}.blocks.{j}.{norm1, attn.{qkv,proj,relative_position_bias_
+#   table}, norm2, mlp.{fc1,fc2}} / layers.{i}.downsample.{norm,reduction}
+#   / norm{i}
+# Our PatchMerging concatenates the 2x2 sub-grids in (00, 01, 10, 11)
+# order while the reference uses (00, 10, 01, 11) (`swin.py:293-303`), so
+# downsample params permute their 4C input-channel groups.
+# ---------------------------------------------------------------------------
+
+def _merge_perm(c4: int) -> np.ndarray:
+    c = c4 // 4
+    g = np.arange(c)
+    return np.concatenate([g, g + 2 * c, g + c, g + 3 * c])
+
+
+def import_swin(
+    sd: Dict[str, np.ndarray], variables: Dict[str, Any], prefix: str = ""
+) -> Tuple[Dict[str, Any], int, list]:
+    """Load a reference/mmdet-format Swin state dict into flax
+    `modeling.backbones.swin.SwinTransformer` variables. `prefix` locates
+    the swin inside a larger tree. Returns (new_variables, n, skipped)."""
+    import copy
+
+    variables = copy.deepcopy(
+        {k: jax_tree_to_numpy(v) for k, v in variables.items()}
+    )
+
+    def rename(key: str, val: np.ndarray):
+        """→ (path, array) or None (unmapped) or "drop" (buffers)."""
+        parts = key.split(".")
+        leaf = parts[-1]
+        if leaf in ("relative_position_index", "num_batches_tracked") or \
+                parts[-1] == "attn_mask":
+            return "drop"
+        if key == "absolute_pos_embed":
+            if val.ndim == 4:  # mmdet [1, C, H, W] → NHWC
+                return "absolute_pos_embed", val.transpose(0, 2, 3, 1)
+            if val.ndim == 3:  # official classification [1, N, C]
+                n = val.shape[1]
+                side = int(round(n ** 0.5))
+                return "absolute_pos_embed", val.reshape(1, side, side, -1)
+            return None
+        if parts[0] == "patch_embed":
+            if parts[1] == "proj":
+                return (f"patch_embed.{'kernel' if leaf == 'weight' else 'bias'}",
+                        val.transpose(2, 3, 1, 0) if leaf == "weight" else val)
+            if parts[1] == "norm":
+                return f"patch_norm.{'scale' if leaf == 'weight' else 'bias'}", val
+            return None
+        if parts[0].startswith("norm") and len(parts) == 2:
+            i = int(parts[0][4:])
+            return f"out_norm{i}.{'scale' if leaf == 'weight' else 'bias'}", val
+        if parts[0] == "layers":
+            i = int(parts[1])
+            if parts[2] == "downsample":
+                perm = _merge_perm(val.shape[-1] if leaf == "weight" and val.ndim == 2
+                                   else val.shape[0])
+                if parts[3] == "norm":
+                    return (f"merge{i}.norm.{'scale' if leaf == 'weight' else 'bias'}",
+                            val[perm])
+                if parts[3] == "reduction":  # [2C, 4C] → [4C, 2C]
+                    return f"merge{i}.reduction.kernel", val[:, perm].T
+                return None
+            if parts[2] == "blocks":
+                j = int(parts[3])
+                base = f"stage{i}_block{j}"
+                rest = parts[4:]
+                if rest[0] in ("norm1", "norm2"):
+                    return (f"{base}.{rest[0]}.{'scale' if leaf == 'weight' else 'bias'}",
+                            val)
+                if rest[0] == "attn":
+                    if rest[1] == "relative_position_bias_table":
+                        return f"{base}.attn.relative_position_bias_table", val
+                    if rest[1] in ("qkv", "proj"):
+                        return (f"{base}.attn.{rest[1]}.{'kernel' if leaf == 'weight' else 'bias'}",
+                                val.T if leaf == "weight" else val)
+                    return None
+                if rest[0] == "mlp" and rest[1] in ("fc1", "fc2"):
+                    return (f"{base}.{rest[1]}.{'kernel' if leaf == 'weight' else 'bias'}",
+                            val.T if leaf == "weight" else val)
+            return None
+        return None
+
+    n, skipped = 0, []
+    for key, val in strip_prefix(sd).items():
+        r = rename(key, val)
+        if r == "drop":
+            n += 1
+            continue
+        if r is None:
+            skipped.append(key)
+            continue
+        path, arr = r
+        if prefix:
+            path = f"{prefix}.{path}"
+        if assign_into_tree(variables.get("params", {}), path, arr):
+            n += 1
+        else:
+            skipped.append(key)
+    return variables, n, skipped
+
+
+# ---------------------------------------------------------------------------
 # CenterPoint VoxelNet whole-model name mapping. Reference naming:
 #   trunk  `efg/modeling/backbones/sparse_net.py:473-545` (SpMiddleResNetFHD:
 #          conv_input / conv1..conv4 SparseSequentials / extra_conv)
