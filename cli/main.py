@@ -31,6 +31,53 @@ def get_parser():
     return parser
 
 
+def _slurm_first_host(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist, in-process (the reference shells
+    out to `scontrol show hostname` — `efg/engine/launch.py:150`).
+
+    Handles "host1,host2", "prefix[001-004,007]", "prefix[3]suffix"."""
+    # cut at the first comma that is not inside brackets
+    depth, first = 0, nodelist
+    for i, ch in enumerate(nodelist):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            first = nodelist[:i]
+            break
+    lb = first.find("[")
+    if lb == -1:
+        return first
+    rb = first.index("]", lb)
+    token = first[lb + 1:rb].split(",")[0].split("-")[0]
+    return first[:lb] + token + first[rb + 1:]
+
+
+def resolve_distributed_env(args, env) -> tuple | None:
+    """(coordinator_address, num_processes, process_id) for multi-host
+    bring-up, or None for single-process.
+
+    Priority mirrors the reference launchers (`efg/engine/launch.py:31-182`):
+    explicit CLI flags, then SLURM env (SLURM_PROCID/SLURM_NTASKS/
+    SLURM_NODELIST + MASTER_PORT, default 29500), then generic torchrun-style
+    env (RANK/WORLD_SIZE/MASTER_ADDR/MASTER_PORT)."""
+    if args.num_machines > 1:
+        return args.dist_url, args.num_machines, args.machine_rank
+    if "SLURM_PROCID" in env and "SLURM_NTASKS" in env:
+        ntasks = int(env["SLURM_NTASKS"])
+        if ntasks <= 1:
+            return None
+        addr = env.get("MASTER_ADDR") or _slurm_first_host(env["SLURM_NODELIST"])
+        port = env.get("MASTER_PORT", "29500")
+        return f"{addr}:{port}", ntasks, int(env["SLURM_PROCID"])
+    if "RANK" in env and "WORLD_SIZE" in env and int(env["WORLD_SIZE"]) > 1:
+        addr = env.get("MASTER_ADDR", "127.0.0.1")
+        port = env.get("MASTER_PORT", "29500")
+        return f"{addr}:{port}", int(env["WORLD_SIZE"]), int(env["RANK"])
+    return None
+
+
 def load_experiment_module(exp_dir: str, name: str = "net"):
     """Import the experiment-local net.py (reference `cli/main.py:120`)."""
     path = os.path.join(exp_dir, f"{name}.py")
@@ -72,13 +119,15 @@ def main():
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-    if args.num_machines > 1:
+    dist = resolve_distributed_env(args, os.environ)
+    if dist is not None:
         import jax
 
+        coordinator, num_processes, process_id = dist
         jax.distributed.initialize(
-            coordinator_address=args.dist_url,
-            num_processes=args.num_machines,
-            process_id=args.machine_rank,
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
         )
 
     # registrations
