@@ -440,40 +440,34 @@ def _window_gather_runs_bwd(num_heads, radius, chunk, res, g):
     da = da.swapaxes(0, 1).reshape(b, n_chunks * chunk, num_heads, s * s)[:, :l]
     da = da.astype(coeffs.dtype)
 
-    # dV: one ROW-SLICE scatter-add per window y-offset (S scan steps; each
-    # adds [B, L, S·C] window-row contributions at (y=clip(by+oy), x=bx) of
-    # the x-padded map — a window row is one contiguous (2R+1)·C run, so a
-    # windowed scatter moves the same bytes with S× fewer scattered rows).
-    # History: the r3 dynamic-update-slice accumulation was 1132 ms (XLA
-    # cannot alias dynamic-index read-modify-write chains → full-buffer
-    # copies); per-OFFSET row scatter-adds (S² steps of [B, L, C]) measured
-    # 82 ms (tools/bench_dv.py, r4) and were still scattered-row-count
-    # bound at ~53 ns/row.
-    wp = w + 2 * radius
-    dv0 = jnp.zeros((b, h, wp * c), jnp.float32)
-    sdn = jax.lax.ScatterDimensionNumbers(
-        update_window_dims=(1,), inserted_window_dims=(0,),
-        scatter_dims_to_operand_dims=(0, 1),
-    )
-    xc = base_yx[..., 1] * c  # [B, L] col start in the [H, Wp·C] view
+    # dV: one [B, L, C] row scatter-add per window OFFSET (S² scan steps
+    # into the y+x-padded flattened map; pad-cell contributions are sliced
+    # off, matching the forward's zero-padded reads). History of the
+    # alternatives (tools/bench_dv.py at exact decoder shapes): r3
+    # dynamic-update-slice accumulation 1132 ms (XLA cannot alias
+    # dynamic-index read-modify-write chains → full-buffer copies); the
+    # r4.5 ROW-SLICE windowed scatter_add (S steps of [B, L, S·C] updates)
+    # looked byte-optimal but XLA lowers a wide-window scatter with
+    # colliding indices to a SERIAL while loop over all B·L update rows —
+    # ~285 ms/layer, 80% of the whole ConQueR step in the r5 trace. The
+    # per-offset narrow scatter measured 82 ms.
+    hp, wp = h + 2 * radius, w + 2 * radius
+    dv0 = jnp.zeros((b, hp * wp, c), jnp.float32)
+    gi32 = gi.astype(jnp.float32)
 
-    def dv_body(dv, oy):
-        yy = jnp.clip(base_yx[..., 0] + (oy - radius), 0, h - 1)  # [B, L]
-        a_row = jax.lax.dynamic_slice_in_dim(coeffs, oy * s, s, axis=3)
-        # vals[b,q,ox,d,n] = a_row[b,q,n,ox] · g[b,q,d·NH+n] (head-interleaved)
-        vals = (
-            a_row.transpose(0, 1, 3, 2)[:, :, :, None, :].astype(jnp.float32)
-            * gi.reshape(b, l, 1, hd, num_heads).astype(jnp.float32)
-        ).reshape(b, l, s * c)
-        idx = jnp.stack([yy, xc], -1)  # [B, L, 2]
-        dv = jax.vmap(
-            lambda d, i, v: jax.lax.scatter_add(d, i, v, sdn)
-        )(dv, idx, vals)
+    def dv_body(dv, o):
+        oy, ox = o // s, o % s
+        # window cell (oy, ox) of query at (y, x) sits at padded coords
+        # (y + oy, x + ox) — always in bounds, no clipping needed
+        rows = (base_yx[..., 0] + oy) * wp + (base_yx[..., 1] + ox)  # [B, L]
+        a_o = coeffs[..., o].astype(jnp.float32)  # [B, L, NH]
+        # interleaved channel layout: channel c belongs to head c % NH
+        a_c = jnp.tile(a_o, (1, 1, hd))  # [B, L, C]
+        dv = jax.vmap(lambda d, r, v: d.at[r].add(v))(dv, rows, a_c * gi32)
         return dv, None
 
-    dv, _ = jax.lax.scan(dv_body, dv0, jnp.arange(s, dtype=jnp.int32))
-    # drop the x pad columns (out-of-map bins carry zero coefficients)
-    dv = dv.reshape(b, h, wp, c)[:, :, radius:radius + w]
+    dv, _ = jax.lax.scan(dv_body, dv0, jnp.arange(s * s, dtype=jnp.int32))
+    dv = dv.reshape(b, hp, wp, c)[:, radius:radius + h, radius:radius + w]
     dvalue = _deinterleave(dv, num_heads).astype(value.dtype)
     import numpy as _np
 
@@ -501,9 +495,9 @@ def box_attention_window_gather(
     runs=True (the fast path) gathers each window row as ONE contiguous
     (2R+1)-cell slice from an x-padded bf16 map (S slice descriptors of
     ~(2R+1)·C·2 bytes instead of S² 1KB row descriptors) and carries a
-    custom VJP whose dV pass is a serial in-place window accumulation
-    instead of the gather-transpose XLA scatter. runs=False is the plain
-    per-row autodiff oracle.
+    custom VJP: dA as one MXU matmul per chunk, dV as S² per-offset
+    [B, L, C] row scatter-adds. runs=False is the plain per-row autodiff
+    oracle.
 
     Contract: `base_yx` must be IN-MAP (0 ≤ y < H, 0 ≤ x < W — what the
     model's anchor clip produces) and be the same anchors the coeffs were

@@ -37,6 +37,46 @@ class EventStorage:
         self._latest_scalars: Dict[str, float] = {}
         self._iter = start_iter
         self._window_size = window_size
+        self._vis_data: List[tuple] = []
+        self._histograms: List[dict] = []
+
+    def put_image(self, img_name: str, img_tensor) -> None:
+        """Queue an image for TensorBoard (reference `events.py:279-292`).
+
+        `img_tensor` is [C, H, W] or [H, W, C] uint8/float array-like; it is
+        stored as-is and drained by the TensorBoard writer each `write()`.
+        """
+        import numpy as np
+
+        self._vis_data.append((img_name, np.asarray(img_tensor), self._iter))
+
+    def put_histogram(self, hist_name: str, hist_tensor, bins: int = 1000) -> None:
+        """Queue a histogram for TensorBoard (reference `events.py:330-358`):
+        pre-computes `add_histogram_raw` parameters on the host."""
+        import numpy as np
+
+        x = np.asarray(hist_tensor, dtype=np.float64).reshape(-1)
+        ht_min, ht_max = float(x.min()), float(x.max())
+        counts, edges = np.histogram(x, bins=bins, range=(ht_min, ht_max))
+        self._histograms.append(
+            dict(
+                tag=hist_name,
+                min=ht_min,
+                max=ht_max,
+                num=len(x),
+                sum=float(x.sum()),
+                sum_squares=float((x ** 2).sum()),
+                bucket_limits=edges[1:].tolist(),
+                bucket_counts=counts.tolist(),
+                global_step=self._iter,
+            )
+        )
+
+    def clear_images(self) -> None:
+        self._vis_data = []
+
+    def clear_histograms(self) -> None:
+        self._histograms = []
 
     def put_scalar(self, name: str, value: float, smoothing_hint: bool = True) -> None:
         value = float(value)
@@ -147,6 +187,20 @@ class TensorboardWriter(EventWriter):
         storage = get_event_storage()
         for k, v in storage.latest_with_smoothing_hint(self._window_size).items():
             self._writer.add_scalar(k, v, storage.iter)
+        # drain queued images/histograms (reference `events.py:149-165`)
+        if storage._vis_data:
+            import numpy as np
+            import torch
+
+            for img_name, img, step_num in storage._vis_data:
+                arr = np.asarray(img)
+                fmt = "HWC" if arr.ndim == 3 and arr.shape[-1] in (1, 3, 4) else "CHW"
+                self._writer.add_image(img_name, torch.as_tensor(arr), step_num, dataformats=fmt)
+            storage.clear_images()
+        if storage._histograms:
+            for params in storage._histograms:
+                self._writer.add_histogram_raw(**params)
+            storage.clear_histograms()
 
     def close(self) -> None:
         self._writer.close()

@@ -110,3 +110,31 @@ def test_config_attribute_access_and_errors():
     with pytest.raises(AttributeError):
         _ = c.nope
     assert c.get("nope", 3) == 3
+
+
+def test_backbones_gallery_include(tmp_path, monkeypatch):
+    """The shared backbone gallery (reference gallary/backbones.yaml) loads
+    via includes and its keys interpolate into experiment configs."""
+    monkeypatch.setenv("EFG_PATH", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    cfg_path = _write(
+        tmp_path,
+        "exp.yaml",
+        """
+        includes:
+          - ${oc.env:EFG_PATH}/efg_tpu/config/gallary/backbones.yaml
+        model:
+          resnets:
+            depth: 18
+          fcos:
+            depth: ${model.resnets.depth}
+            freeze_at: ${model.resnets.freeze_at}
+        """,
+    )
+    cfg = load_yaml(cfg_path)
+    resolve_interpolations(cfg)
+    assert cfg["model"]["resnets"]["depth"] == 18          # override wins
+    assert cfg["model"]["resnets"]["norm"] == "FrozenBN"   # gallery default
+    assert cfg["model"]["fcos"]["depth"] == 18             # interpolated
+    assert cfg["model"]["fcos"]["freeze_at"] == 2
+    assert cfg["model"]["fpn"]["out_channels"] == 256
+    assert cfg["model"]["swin"]["ape"] is False

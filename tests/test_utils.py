@@ -50,6 +50,31 @@ def test_event_storage_and_json_writer(tmp_path):
     assert rec["lr"] == 0.1
 
 
+def test_event_storage_images_and_histograms(tmp_path):
+    """put_image / put_histogram queue payloads and the TensorBoard writer
+    drains them (reference efg/utils/events.py:279-358, 149-165)."""
+    import numpy as np
+
+    from efg_tpu.utils.events import TensorboardWriter
+
+    with EventStorage(start_iter=3) as storage:
+        storage.put_scalar("loss", 1.0)
+        storage.put_image("vis/pred", np.zeros((8, 8, 3), np.uint8))
+        storage.put_histogram("weights/w1", np.arange(100, dtype=np.float32), bins=10)
+        assert len(storage._vis_data) == 1
+        hp = storage._histograms[0]
+        assert hp["tag"] == "weights/w1"
+        assert hp["num"] == 100 and hp["global_step"] == 3
+        assert len(hp["bucket_counts"]) == 10 and sum(hp["bucket_counts"]) == 100
+
+        w = TensorboardWriter(str(tmp_path / "tb"))
+        w.write()
+        w.close()
+        # queues are drained after a write
+        assert storage._vis_data == [] and storage._histograms == []
+    assert any((tmp_path / "tb").iterdir())
+
+
 def test_catalog_uri_resolution():
     """catalog:// and detectron2:// resolve to public zoo URLs (reference
     efg/utils/catalog.py); offline, resolution works and only the fetch
