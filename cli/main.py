@@ -162,6 +162,8 @@ def main():
     if task == "train":
         trainer.resume_or_load(resume=args.resume)
         trainer.train()
+        if getattr(trainer, "_preempted", False):
+            return  # preemption checkpoint saved; relaunch resumes cleanly
         if config.trainer.get("evaluators"):
             trainer.evaluate()
     elif task in ("val", "test"):

@@ -122,6 +122,10 @@ class PeriodicCheckpoint(HookBase):
             self.trainer.save_checkpoint(f"model_{it:07d}")
 
     def after_train(self):
+        # a preempted run is NOT final: it already saved a step checkpoint,
+        # and writing model_final here would make the resumed run look done
+        if getattr(self.trainer, "_preempted", False):
+            return
         self.trainer.save_checkpoint("model_final")
 
 

@@ -392,9 +392,28 @@ class DefaultTrainer:
         )
 
     # ----------------------------------------------------------------- train
+    def _install_preemption_handler(self):
+        """Preemption-safe training: SIGTERM (what TPU/SLURM preemptions
+        deliver) sets a flag; the loop checkpoints at the next step boundary
+        and exits cleanly, so `resume=True` continues bit-identically
+        (per-ordinal data RNG + step-folded dropout RNG). Returns the
+        previous handler, or None when not installable (non-main thread)."""
+        import signal
+
+        self._preempted = False
+
+        def _on_term(signum, frame):
+            self._preempted = True
+
+        try:
+            return signal.signal(signal.SIGTERM, _on_term)
+        except ValueError:  # not in the main thread (e.g. under pytest workers)
+            return None
+
     def train(self):
         logger.info(f"Starting training: {self.max_iters} iters "
                     f"({self.iters_per_epoch} it/epoch) on mesh {dict(self.mesh.shape)}")
+        prev_handler = self._install_preemption_handler()
         with EventStorage(self.iter) as self.storage:
             for h in self.hooks:
                 h.before_train()
@@ -415,11 +434,21 @@ class DefaultTrainer:
                     h.after_step()
                 self.iter += 1
                 self.storage.step()
+                if self._preempted:
+                    logger.warning(
+                        f"SIGTERM: saving preemption checkpoint at iter {self.iter} and exiting"
+                    )
+                    self.save_checkpoint(f"model_{self.iter:07d}", blocking=True)
+                    break
             if pending is not None:
                 self._write_metrics(*pending)
             for h in self.hooks:
                 h.after_train()
             self.wait_for_checkpoints()  # don't exit with writes in flight
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
 
     def _write_metrics(self, it: int, metrics: Dict[str, Any]):
         host = {k: float(v) for k, v in jax.device_get(metrics).items()}

@@ -106,3 +106,62 @@ def test_dp_resume_loss_continuity(tmp_path):
             f"record {it}: resumed loss {post[it]!r} != uninterrupted "
             f"{full[it]!r} (drift {abs(post[it] - full[it]):.3e})"
         )
+
+
+def test_sigterm_preemption_checkpoint_and_resume(tmp_path):
+    """Preemption safety: SIGTERM mid-training saves a step checkpoint,
+    exits cleanly (rc=0, no model_final), and a --resume relaunch finishes
+    the schedule."""
+    import signal
+    import subprocess as sp
+    import time
+
+    if os.environ.get("EFG_SKIP_E2E"):
+        pytest.skip("EFG_SKIP_E2E set")
+    cache = str(tmp_path / "run")
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=2",
+        PYTHONPATH=REPO,
+        EFG_PATH=os.path.join(REPO, "efg_tpu"),
+        EFG_CACHE_DIR=cache,
+        JAX_COMPILATION_CACHE_DIR="/tmp/jax_cache_cpu_tests",
+    )
+    cmd = [
+        sys.executable, "-m", "cli.main", "--config", "config.yaml",
+        "task=train", "solver.lr_scheduler.max_iters=50",
+        "trainer.log_interval=1", "trainer.window_size=1",
+        "trainer.evaluators=null", "trainer.eval_period=null",
+    ]
+    proc = sp.Popen(cmd, cwd=EXP, env=env, stdout=sp.DEVNULL, stderr=sp.DEVNULL)
+    try:
+        # wait until a few iterations have been recorded, then preempt
+        deadline = time.time() + 900
+        seen = False
+        while time.time() < deadline and not seen:
+            for root, _, files in os.walk(cache):
+                for f in files:
+                    if f == "metrics.json":
+                        with open(os.path.join(root, f)) as fh:
+                            seen = sum(1 for _ in fh) >= 2
+            if proc.poll() is not None:
+                raise AssertionError("train exited before it could be preempted")
+            time.sleep(2)
+        assert seen, "no training iterations observed before deadline"
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert rc == 0, f"preempted run exited rc={rc}"
+    ckpts, finals = [], []
+    for root, dirs, _ in os.walk(cache):
+        ckpts += [d for d in dirs if d.startswith("model_") and d != "model_final"]
+        finals += [d for d in dirs if d == "model_final"]
+    assert ckpts, "preemption saved no step checkpoint"
+    assert not finals, "preempted run must not write model_final"
+
+    # relaunch with --resume: restores the preemption checkpoint and finishes
+    resumed = _run(cache, 10, resume=True)
+    assert max(resumed) == 10 and np.isfinite(list(resumed.values())).all()

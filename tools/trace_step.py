@@ -98,6 +98,29 @@ def categorize(name):
     return "other"
 
 
+# Budget lines for the PARITY.md table (VERDICT r4 item 2): where does a
+# full train step's device time sit, in framework terms. The outer N-step
+# bench scan is listed separately (its event SPANS every inner op, so it
+# would double-count if merged into a line).
+BUDGET = [
+    ("outer-scan/while", re.compile(r"^%while")),
+    ("rulebook merges (rank kernel)", re.compile(r"merge_rank_flags|_rank_kernel", re.I)),
+    ("gather-GEMMs (subm fwd/dW)", re.compile(r"fused_gather_gemm|fused_gather_dw|subm", re.I)),
+    ("strided conv kernels", re.compile(r"strided_conv", re.I)),
+    ("dense RPN/head convs", re.compile(r"convolution|%conv", re.I)),
+    ("voxelize sort/unique", re.compile(r"sort|cummax|reduce-window", re.I)),
+    ("copies/transposes", re.compile(r"copy|transpose|bitcast", re.I)),
+    ("fusions (elementwise/loss/opt)", re.compile(r"fusion", re.I)),
+]
+
+
+def budgetize(name):
+    for cat, pat in BUDGET:
+        if pat.search(name):
+            return cat
+    return "other (scatter/gather/glue)"
+
+
 def main():
     n_top = 40
     bs = 2
@@ -160,6 +183,12 @@ def main():
         print("\n-- by category (ms/iter) --")
         for cat, t in sorted(cats.items(), key=lambda kv: -kv[1]):
             print(f"  {cat:20s} {t / N * 1e3:9.2f}")
+        buckets = defaultdict(float)
+        for name, t in per_op.items():
+            buckets[budgetize(name)] += t
+        print("\n-- budget table (ms/iter) --")
+        for cat, t in sorted(buckets.items(), key=lambda kv: -kv[1]):
+            print(f"  {cat:34s} {t / N * 1e3:9.2f}")
         print(f"\n-- top {n_top} ops (ms/iter) --")
         for name, t in sorted(per_op.items(), key=lambda kv: -kv[1])[:n_top]:
             print(f"  {t / N * 1e3:9.3f}  {name[:130]}")
