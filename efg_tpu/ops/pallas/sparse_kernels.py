@@ -457,16 +457,24 @@ class PreppedRule:
     n_groups: int = struct.field(pytree_node=False)
 
 
-def _tile_for(cin_padded: int, tile: int) -> int:
+def _tile_for(cin_padded: int, tile: int, n_groups: int = 3) -> int:
     """VMEM-budget tile clamp: the window/accumulator scratch scales with
     c3p = 3·cin and tile (gacc 3·(tile/128)·c3p·128·f32 + wbuf
     2·(tile+wslack)·c3p·bf16 + stacked 9·cin·tile·bf16 + out tile·cout·f32).
     At cin=256 the default TILE=1024 needs ~24MB > the 16MB scoped limit
-    (hit by ConQueR's res4); halve the tile for wide channels."""
+    (hit by ConQueR's res4); halve the tile for wide channels.
+
+    The emit variant additionally holds the stacked residual output block
+    [n_groups·9·cin, tile] bf16 on the kernel stack — the strided-conv
+    INVERSE rulebook carries n_groups=6, which at cin=128, tile=1024 is a
+    14.2MB block alone (scoped-vmem OOM at 16.38M/16M, ConQueR res3 down,
+    r5); clamp so that block stays ≤ 8MB."""
     if cin_padded > 192:
-        return min(tile, 256)
-    if cin_padded > 128:
-        return min(tile, 512)
+        tile = min(tile, 256)
+    elif cin_padded > 128:
+        tile = min(tile, 512)
+    while tile > 256 and n_groups * 9 * cin_padded * tile * 2 > 8 * 2**20:
+        tile //= 2
     return tile
 
 
@@ -480,10 +488,10 @@ def prep_rulebook(
     wslack: int = WSLACK,
 ) -> PreppedRule:
     cin = _rup(max(cin, 1), 16)
-    tile = _tile_for(cin, tile)
+    n_groups = packed.shape[0] // 3
+    tile = _tile_for(cin, tile, n_groups)
     raw = packed
     v_out = packed.shape[1]
-    n_groups = packed.shape[0] // 3
     pack2 = 3 * cin <= 64
     if pack2:  # halve band/window (they count PACKED rows)
         band = _rup(max(band // 2, 32), 16)
