@@ -186,14 +186,95 @@ def bench_conquer(n_iters: int = 12):
     return bsz * n_iters / dt, dt / n_iters
 
 
+def supervisor():
+    """Default entry: a thin parent that NEVER imports jax. It streams the
+    measurement child's stdout, remembers the best record seen, enforces
+    its own wall-clock deadline, and guarantees the LAST line it prints is
+    a parseable JSON record — even when the driver's timeout SIGTERMs us
+    mid-compile (rounds 3+4 died exactly there: the only tail content was
+    a platform warning, because the main process was stuck inside an XLA
+    compile where a Python signal handler never runs; a pure-Python parent
+    blocked in readline() handles the signal immediately)."""
+    import signal
+    import subprocess
+
+    best = _load_banked()
+    if best is not None:
+        best = {**best, "stale": True}  # honest until a live line lands
+        print(json.dumps(best), flush=True)
+
+    final_emitted = False
+
+    def finish(rc: int = 0):
+        nonlocal final_emitted
+        if not final_emitted:
+            final_emitted = True
+            if best is not None:
+                print(json.dumps(best), flush=True)
+            else:
+                print(json.dumps({"metric": "centerpoint_waymo_train_frames_per_sec_per_chip",
+                                  "value": None, "unit": "frames/s",
+                                  "vs_baseline": None,
+                                  "note": "no measurement completed"}), flush=True)
+        os._exit(rc)
+
+    child = None
+
+    def on_term(signum, frame):
+        if child is not None and child.poll() is None:
+            try:
+                child.kill()
+            except OSError:
+                pass
+        finish(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    deadline = _T_START + TIME_BUDGET
+    env = dict(os.environ, BENCH_INPROC="1")
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True, env=env,
+    )
+
+    import threading
+
+    def watchdog():
+        remain = deadline - time.monotonic()
+        if remain > 0:
+            time.sleep(remain)
+        if child.poll() is None:
+            child.kill()
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    assert child.stdout is not None
+    for line in child.stdout:
+        line = line.strip()
+        if not line:
+            continue
+        print(line, flush=True)
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(rec, dict) and rec.get("value") and not rec.get("stale"):
+            best = rec
+    child.wait()
+    finish(0)
+
+
 def main():
     # --- STEP 0 (before ANY jax import, so a dead tunnel can't block it):
     # print the committed carry-forward record, marked stale. Whatever
-    # happens after this line, the bench artifact is non-empty.
+    # happens after this line, the bench artifact is non-empty. (When run
+    # under supervisor(), the parent already printed it; BENCH_INPROC
+    # children skip the stale print to avoid clobbering fresher lines.)
     bs_env = os.environ.get("BENCH_BS")
     is_child = bool(bs_env or os.environ.get("BENCH_CHILD"))
     banked = None if is_child else _load_banked()
-    if banked is not None:
+    if banked is not None and not os.environ.get("BENCH_INPROC"):
         print(json.dumps({**banked, "stale": True}), flush=True)
 
     import jax
@@ -409,5 +490,7 @@ if __name__ == "__main__":
     child = os.environ.get("BENCH_CHILD")
     if child:
         child_main(child)
-    else:
+    elif os.environ.get("BENCH_INPROC"):
         main()
+    else:
+        supervisor()

@@ -119,14 +119,16 @@ class PeriodicCheckpoint(HookBase):
     def after_step(self):
         it = get_event_storage().iter
         if (it + 1) % self._period == 0 and it != self.trainer.max_iters - 1:
-            self.trainer.save_checkpoint(f"model_{it:07d}")
+            # async: overlaps the file write with the next train steps;
+            # train() waits for in-flight writes before returning
+            self.trainer.save_checkpoint(f"model_{it:07d}", blocking=False)
 
     def after_train(self):
         # a preempted run is NOT final: it already saved a step checkpoint,
         # and writing model_final here would make the resumed run look done
         if getattr(self.trainer, "_preempted", False):
             return
-        self.trainer.save_checkpoint("model_final")
+        self.trainer.save_checkpoint("model_final", blocking=False)
 
 
 class EvalHook(HookBase):

@@ -295,7 +295,10 @@ class DefaultTrainer:
             )
         return self._ckptr
 
-    def save_checkpoint(self, name: str, blocking: bool = False):
+    def save_checkpoint(self, name: str, blocking: bool = True):
+        """Durable by default (reference torch.save semantics). The train
+        loop's PeriodicCheckpoint hook passes blocking=False so in-loop
+        saves overlap compute; train() waits on exit either way."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(os.path.join(self.output_dir, name))
