@@ -1601,3 +1601,94 @@ def build_monotone_rule_strided_inverse(
         rows.append(jnp.full_like(rows[0], v_out * 8))
         wmap.append((-1, -1, -1))
     return jax.lax.optimization_barrier(jnp.stack(rows)), tuple(wmap)
+
+
+def derive_strided_inverse(packed_fwd, out_keys, v_in, ks, stride, padding):
+    """Inverse packed rulebook DERIVED from the forward one — no second
+    merge-join kernel call (the r4 device trace charged ~20 ms/step to the
+    strided-INVERSE merges alone at Waymo bs=4 scale).
+
+    Same contract as `build_monotone_rule_strided_inverse` (packed_inv
+    [P₂, V_in], wmap), built from the transpose duality: every SET forward
+    tap flag is a (output row o ↔ input row r) correspondence whose inverse
+    anchor rank is known in closed form —
+      · fwd f0 hit (κx=1 / mid) at r=pos:      rank of q_inv(r)=a_o    = o
+      · fwd fp hit (κx=2)      at r=pos+f0:    sw=2 A-mid rank(a_o)    = o
+                                               sw=1 m-tap rank(a_o+1)  = o+1
+      · fwd fm hit (κx=0)      at r=pos−1:     p-tap rank(a_o−1) = o−adj[o]
+    with adj[o] = (out_keys[o]−out_keys[o−1] == 1) (keys sorted distinct).
+    Scatter those exact ranks+flags to their input rows (≤3 width-1
+    scatters of V_out rows per (κz, κy) — forward flags are injective per
+    tap so bits never collide at a row within one buffer) and backfill the
+    un-hit rows with one running max per (κz, κy) — the SAME cummax count
+    as the deleted `lookup3` query builder, so the merge kernel and the
+    per-pair query/coordinate math are pure savings. Grid-boundary masking
+    is inherited from the forward flags (a set flag IS a valid in-grid
+    correspondence), so no coordinate logic is needed at all."""
+    kd, kh, kw3 = ks
+    sw = stride[2]
+    assert kw3 in (1, 3) and sw in (1, 2)
+    v_out = out_keys.shape[0]
+
+    rows_fwd = packed_fwd[::3] if kh == 1 else packed_fwd  # undo ×3 dummies
+    o = jnp.arange(v_out, dtype=jnp.int32)
+    adj = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         (out_keys[1:] - out_keys[:-1] == 1).astype(jnp.int32)]
+    )
+
+    def scat(targets, flags, vals_pos, bit):
+        tgt = jnp.where(flags > 0, targets, v_in)
+        return (
+            jnp.zeros(v_in + 1, jnp.int32)
+            .at[tgt]
+            .max(vals_pos * 8 + bit, mode="drop")[:v_in]
+        )
+
+    rows, wmap = [], []
+    for kz in range(kd):
+        for ky in range(kh):
+            p = kz * kh + ky
+            pk = rows_fwd[p]
+            pos = pk >> 3
+            fm = (pk >> 2) & 1
+            f0 = (pk >> 1) & 1
+            fp = pk & 1
+            kflat = p * kw3
+            if kw3 == 3 and sw == 2:
+                bA1 = scat(pos + f0, fp, o, 2)  # κx=2 → A mid
+                bA2 = scat(pos - 1, fm, o - adj, 1)  # κx=0 → A p-tap
+                bB = scat(pos, f0, o, 2)  # κx=1 → B mid
+                pos8 = jax.lax.cummax(jnp.maximum(jnp.maximum(bA1, bA2), bB)) & ~7
+                rows.append(pos8 | (bA1 & 7) | (bA2 & 7))
+                rows.append(pos8 | (bB & 7))
+                wmap.append((-1, kflat + 2, kflat + 0))
+                wmap.append((-1, kflat + 1, -1))
+            elif kw3 == 3 and sw == 1:
+                b1 = scat(pos + f0, fp, o + 1, 4)  # κx=2 → m-tap
+                b2 = scat(pos, f0, o, 2)  # κx=1 → mid
+                b3 = scat(pos - 1, fm, o - adj, 1)  # κx=0 → p-tap
+                pos8 = jax.lax.cummax(jnp.maximum(jnp.maximum(b1, b2), b3)) & ~7
+                rows.append(pos8 | (b1 & 7) | (b2 & 7) | (b3 & 7))
+                wmap.append((kflat + 2, kflat + 1, kflat + 0))
+            else:  # kw3 == 1
+                b = scat(pos, f0, o, 2)
+                pos8 = jax.lax.cummax(b) & ~7
+                rows.append(pos8 | (b & 7))
+                wmap.append((-1, kflat, -1))
+
+    if kh == 1 and kd > 1:
+        rows = [r2 for r in rows for r2 in (r, (r >> 3) * 8, (r >> 3) * 8)]
+        wmap = [
+            m2
+            for m in wmap
+            for m2 in (
+                tuple(3 * ki if ki >= 0 else -1 for ki in m),
+                (-1, -1, -1),
+                (-1, -1, -1),
+            )
+        ]
+    while len(rows) % 3:
+        rows.append(jnp.full_like(rows[0], v_out * 8))
+        wmap.append((-1, -1, -1))
+    return jax.lax.optimization_barrier(jnp.stack(rows)), tuple(wmap)

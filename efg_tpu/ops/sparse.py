@@ -26,6 +26,7 @@ Determinism: voxel rows are always sorted by key; ties impossible.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -704,9 +705,15 @@ def spconv_downsample(
         packed_raw = PK.build_monotone_rule_strided(
             st, ob, ozc, oyc, oxc, out_valid, ks, s, p
         )
-        inv_raw, wmap = PK.build_monotone_rule_strided_inverse(
-            st, out_keys, (od, oh, ow), ks, s, p
-        )
+        if os.environ.get("EFG_INV_IMPL", "derive") == "derive":
+            # transpose the forward rulebook — no second merge-join kernel
+            inv_raw, wmap = PK.derive_strided_inverse(
+                packed_raw, out_keys, st.capacity, ks, s, p
+            )
+        else:
+            inv_raw, wmap = PK.build_monotone_rule_strided_inverse(
+                st, out_keys, (od, oh, ow), ks, s, p
+            )
         w_eff = weights
         if kh == 1:
             # builders expanded each κz pair to its own group of 3 (see

@@ -249,3 +249,48 @@ def test_g3_grid_matches_default(monkeypatch):
     out_g3, st_g3 = PK.fused_gather_gemm(f, rule, w2d, emit_stacked=True)
     np.testing.assert_array_equal(np.asarray(out_g3), np.asarray(out_ref))
     np.testing.assert_array_equal(np.asarray(st_g3), np.asarray(st_ref))
+
+
+@pytest.mark.parametrize(
+    "ks,stride,pad",
+    [((3, 3, 3), (2, 2, 2), (1, 1, 1)),
+     ((3, 3, 3), (2, 2, 2), (0, 1, 1)),
+     ((3, 3, 3), (2, 2, 1), (1, 1, 0)),  # sw=1, kw=3 branch
+     ((3, 1, 1), (2, 1, 1), (0, 0, 0)),
+     ((3, 1, 1), (2, 2, 2), (1, 0, 0))],
+)
+def test_derive_strided_inverse_matches_merge_builder(ks, stride, pad):
+    """The transposed-forward inverse builder must agree with the merge-join
+    inverse builder: identical wmap, identical flag bits everywhere, and
+    identical pos on every row that carries a flag (un-flagged rows only
+    need monotone pos — window sizing, not correctness)."""
+    for seed in (0, 5, 11):
+        st, _ = _make_sparse(seed=seed, n=48, cap=64, c=4)
+        d, h, w = st.spatial_shape
+        od = (d + 2 * pad[0] - ks[0]) // stride[0] + 1
+        oh = (h + 2 * pad[1] - ks[1]) // stride[1] + 1
+        ow = (w + 2 * pad[2] - ks[2]) // stride[2] + 1
+        out_st = S.spconv_downsample(
+            st, jnp.zeros((ks[0] * ks[1] * ks[2], 4, 4), jnp.float32),
+            kernel_size=ks, stride=stride, padding=pad, max_out=96,
+        )
+        out_keys = out_st.keys
+
+        inv_m, wmap_m = PK.build_monotone_rule_strided_inverse(
+            st, out_keys, (od, oh, ow), ks, stride, pad
+        )
+        fwd = PK.build_monotone_rule_strided(
+            st, out_st.coords[:, 0], out_st.coords[:, 1], out_st.coords[:, 2],
+            out_st.coords[:, 3], out_st.valid, ks, stride, pad
+        )
+        inv_d, wmap_d = PK.derive_strided_inverse(
+            fwd, out_keys, st.capacity, ks, stride, pad
+        )
+
+        assert wmap_d == wmap_m
+        m, dv = np.asarray(inv_m), np.asarray(inv_d)
+        assert m.shape == dv.shape
+        np.testing.assert_array_equal(dv & 7, m & 7)
+        flagged = (m & 7) > 0
+        np.testing.assert_array_equal((dv >> 3)[flagged], (m >> 3)[flagged])
+        assert (np.diff(dv >> 3, axis=1) >= 0).all(), "derived pos not monotone"
