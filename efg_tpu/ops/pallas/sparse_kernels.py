@@ -1202,11 +1202,65 @@ def build_monotone_rule9(st, kernel_size: int = 3) -> jax.Array:
             + st.valid.astype(jnp.int32) * 2
             + (kp - key_base == 1)
         )
-        others = queries[:center] + queries[center + 1 :]
-        packed8 = merge_rank_flags(st.keys, jnp.stack(others))
-        packed = jnp.concatenate(
-            [packed8[:center], row_c[None], packed8[center:]], axis=0
-        )
+        if _os.environ.get("EFG_SUBM_DERIVE", "0") == "1":
+            # merge only the Δ<0 half; each Δ>0 pair is the TRANSPOSE of its
+            # negation (key k has neighbour k+Δ at row r ⟺ key k+Δ has
+            # neighbour (k+Δ)−Δ at the original row) — same scatter+cummax
+            # scheme as `derive_strided_inverse`, halving the rank-kernel
+            # work. Source rows must be mask-FINALIZED first (a set flag is
+            # a valid in-grid correspondence; transposes need no re-mask).
+            packed_neg = merge_rank_flags(st.keys, jnp.stack(queries[:center]))
+            okm_n = jnp.stack(
+                [masks[i] & (x - 1 >= 0) for i in range(center)]
+            ).astype(jnp.int32)
+            ok0_n = jnp.stack(masks[:center]).astype(jnp.int32)
+            okp_n = jnp.stack(
+                [masks[i] & (x + 1 < w) for i in range(center)]
+            ).astype(jnp.int32)
+            masked_neg = (
+                (packed_neg & ~7)
+                | (((packed_neg >> 2) & 1) & okm_n) * 4
+                | (((packed_neg >> 1) & 1) & ok0_n) * 2
+                | ((packed_neg & 1) & okp_n)
+            )
+            vcap = st.keys.shape[0]
+            iota2 = jnp.arange(vcap, dtype=jnp.int32)
+            adjm = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32),
+                 (key_base[1:] - key_base[:-1] == 1).astype(jnp.int32)]
+            )
+
+            def scat_t(tgt, flag, val, bit):
+                t = jnp.where(flag > 0, tgt, vcap)
+                return (
+                    jnp.zeros(vcap + 1, jnp.int32)
+                    .at[t]
+                    .max(val * 8 + bit, mode="drop")[:vcap]
+                )
+
+            derived = []
+            for m in range(1, center + 1):  # mirror of pair (center − m)
+                pk = masked_neg[center - m]
+                pos = pk >> 3
+                fm_ = (pk >> 2) & 1
+                f0_ = (pk >> 1) & 1
+                fp_ = pk & 1
+                b1 = scat_t(pos + f0_, fp_, iota2 + 1, 4)
+                b2 = scat_t(pos, f0_, iota2, 2)
+                b3 = scat_t(pos - 1, fm_, iota2 - adjm, 1)
+                pos8 = jax.lax.cummax(
+                    jnp.maximum(jnp.maximum(b1, b2), b3)
+                ) & ~7
+                derived.append(pos8 | (b1 & 7) | (b2 & 7) | (b3 & 7))
+            packed = jnp.concatenate(
+                [packed_neg, row_c[None], jnp.stack(derived)], axis=0
+            )
+        else:
+            others = queries[:center] + queries[center + 1 :]
+            packed8 = merge_rank_flags(st.keys, jnp.stack(others))
+            packed = jnp.concatenate(
+                [packed8[:center], row_c[None], packed8[center:]], axis=0
+            )
     else:
         packed = merge_rank_flags(st.keys, jnp.stack(queries))  # [P, V]
     ok0 = jnp.stack(masks)

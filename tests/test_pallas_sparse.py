@@ -294,3 +294,20 @@ def test_derive_strided_inverse_matches_merge_builder(ks, stride, pad):
         flagged = (m & 7) > 0
         np.testing.assert_array_equal((dv >> 3)[flagged], (m >> 3)[flagged])
         assert (np.diff(dv >> 3, axis=1) >= 0).all(), "derived pos not monotone"
+
+
+def test_subm_derive_matches_full_merge(monkeypatch):
+    """EFG_SUBM_DERIVE=1 (transpose the Δ>0 pairs from the merged Δ<0 half)
+    must reproduce the full-merge rule9: identical flags everywhere,
+    identical pos on flagged rows, monotone pos everywhere."""
+    import os
+    for seed in (0, 7, 13):
+        st, _ = _make_sparse(seed=seed, n=52, cap=64, c=4)
+        monkeypatch.delenv("EFG_SUBM_DERIVE", raising=False)
+        full = np.asarray(PK.build_monotone_rule9(st, 3))
+        monkeypatch.setenv("EFG_SUBM_DERIVE", "1")
+        got = np.asarray(PK.build_monotone_rule9(st, 3))
+        np.testing.assert_array_equal(got & 7, full & 7)
+        flagged = (full & 7) > 0
+        np.testing.assert_array_equal((got >> 3)[flagged], (full >> 3)[flagged])
+        assert (np.diff(got >> 3, axis=1) >= 0).all()

@@ -113,6 +113,15 @@ def main():
           lambda f: PK.derive_strided_inverse(f, out_keys, v_in, ks, s, p)[0],
           fwd)
 
+    # SubM rule9 @480k: full merge (8 rows) vs half-merge + transpose
+    os.environ.pop("EFG_SUBM_DERIVE", None)
+    timed("SubM rule9 build 480k [full merge]",
+          lambda k: PK.build_monotone_rule9(st.replace(keys=k), 3), st.keys)
+    os.environ["EFG_SUBM_DERIVE"] = "1"
+    timed("SubM rule9 build 480k [half merge + transpose]",
+          lambda k: PK.build_monotone_rule9(st.replace(keys=k), 3), st.keys)
+    os.environ.pop("EFG_SUBM_DERIVE", None)
+
     # raw primitive costs at these sizes
     idx = jnp.clip(fwd[0] >> 3, 0, v_in)
     vals = jnp.arange(fwd.shape[1], dtype=jnp.int32) * 8 + 2
