@@ -12,6 +12,7 @@ Dense outputs are NHWC (TPU-native); the BEV map is [B, H, W, C*D].
 
 from __future__ import annotations
 
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -67,10 +68,13 @@ class SparseConvDown(nn.Module):
 
 class _BNReLU(nn.Module):
     relu: bool = True
+    dtype: str = ""  # output (activation-storage) dtype; "" keeps input dtype
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, train: bool) -> sp.SparseTensor:
-        f = MaskedBatchNorm(name="bn")(st.features, st.valid, use_running_average=not train)
+        f = MaskedBatchNorm(name="bn", dtype=jnp.dtype(self.dtype) if self.dtype else None)(
+            st.features, st.valid, use_running_average=not train
+        )
         if self.relu:
             f = jax.nn.relu(f)
         return st.replace_features(f)
@@ -81,15 +85,18 @@ class SparseBasicBlock(nn.Module):
     `sparse_net.py:429-470`; bias on conv mirrors `bias = norm is not None`)."""
 
     features: int
+    dtype: str = ""
 
     @nn.compact
     def __call__(self, st: sp.SparseTensor, rulebook: jax.Array, train: bool) -> sp.SparseTensor:
         identity = st.features
         out = SubMConv(self.features, use_bias=True, name="conv1")(st, rulebook)
-        out = _BNReLU(name="bn1")(out, train)
+        out = _BNReLU(name="bn1", dtype=self.dtype)(out, train)
         out = SubMConv(self.features, use_bias=True, name="conv2")(out, rulebook)
-        f = MaskedBatchNorm(name="bn2")(out.features, out.valid, use_running_average=not train)
-        f = jax.nn.relu(f + identity)
+        f = MaskedBatchNorm(name="bn2", dtype=jnp.dtype(self.dtype) if self.dtype else None)(
+            out.features, out.valid, use_running_average=not train
+        )
+        f = jax.nn.relu(f + identity.astype(f.dtype))
         return out.replace_features(f * out.valid[:, None].astype(f.dtype))
 
 
@@ -106,6 +113,13 @@ class SpMiddleResNetFHD(nn.Module):
     grid_size: Tuple[int, int, int] = (1504, 1504, 40)
     stage_caps: Sequence[int] = (60000, 40000, 20000, 16000)
     sparse_backend: str = "auto"  # auto | xla | pallas
+    # "" keeps f32 activations; "bfloat16" stores inter-layer activations
+    # (conv outputs, BN outputs, residuals) in bf16 — the GEMM inputs are
+    # already bf16 (COMPUTE_DTYPE), so this only changes the STORED rows
+    # and halves the trunk's HBM traffic (the r4 trace charged ~30 ms/step
+    # to BN/elementwise passes + f32<->bf16 converts). BN statistics and
+    # running stats stay f32. Env override: EFG_ACT_DTYPE.
+    act_dtype: str = ""
 
     @property
     def spatial_shape(self) -> Tuple[int, int, int]:
@@ -120,33 +134,36 @@ class SpMiddleResNetFHD(nn.Module):
         backend = (
             sp.default_backend() if self.sparse_backend == "auto" else self.sparse_backend
         )
+        act = os.environ.get("EFG_ACT_DTYPE", self.act_dtype)
+        if act:
+            st = st.replace_features(st.features.astype(jnp.dtype(act)))
 
         rb = sp.build_rulebook(st, 3, backend)
         st = SubMConv(16, name="conv_input")(st, rb)
-        st = _BNReLU(name="bn_input")(st, train)
-        st = SparseBasicBlock(16, name="res0a")(st, rb, train)
-        st = SparseBasicBlock(16, name="res0b")(st, rb, train)
+        st = _BNReLU(name="bn_input", dtype=act)(st, train)
+        st = SparseBasicBlock(16, name="res0a", dtype=act)(st, rb, train)
+        st = SparseBasicBlock(16, name="res0b", dtype=act)(st, rb, train)
 
         st = SparseConvDown(32, max_out=self.stage_caps[0], backend=backend, name="down1")(st)
-        st = _BNReLU(name="bn_down1")(st, train)
+        st = _BNReLU(name="bn_down1", dtype=act)(st, train)
         rb = sp.build_rulebook(st, 3, backend)
-        st = SparseBasicBlock(32, name="res1a")(st, rb, train)
-        st = SparseBasicBlock(32, name="res1b")(st, rb, train)
+        st = SparseBasicBlock(32, name="res1a", dtype=act)(st, rb, train)
+        st = SparseBasicBlock(32, name="res1b", dtype=act)(st, rb, train)
 
         st = SparseConvDown(64, max_out=self.stage_caps[1], backend=backend, name="down2")(st)
-        st = _BNReLU(name="bn_down2")(st, train)
+        st = _BNReLU(name="bn_down2", dtype=act)(st, train)
         rb = sp.build_rulebook(st, 3, backend)
-        st = SparseBasicBlock(64, name="res2a")(st, rb, train)
-        st = SparseBasicBlock(64, name="res2b")(st, rb, train)
+        st = SparseBasicBlock(64, name="res2a", dtype=act)(st, rb, train)
+        st = SparseBasicBlock(64, name="res2b", dtype=act)(st, rb, train)
 
         st = SparseConvDown(
             128, padding=(0, 1, 1), max_out=self.stage_caps[2], backend=backend,
             name="down3",
         )(st)
-        st = _BNReLU(name="bn_down3")(st, train)
+        st = _BNReLU(name="bn_down3", dtype=act)(st, train)
         rb = sp.build_rulebook(st, 3, backend)
-        st = SparseBasicBlock(128, name="res3a")(st, rb, train)
-        st = SparseBasicBlock(128, name="res3b")(st, rb, train)
+        st = SparseBasicBlock(128, name="res3a", dtype=act)(st, rb, train)
+        st = SparseBasicBlock(128, name="res3b", dtype=act)(st, rb, train)
 
         st = SparseConvDown(
             128,
@@ -157,7 +174,7 @@ class SpMiddleResNetFHD(nn.Module):
             backend=backend,
             name="extra_conv",
         )(st)
-        st = _BNReLU(name="bn_extra")(st, train)
+        st = _BNReLU(name="bn_extra", dtype=act)(st, train)
 
         dense = sp.to_dense(st)  # [B, C, D, H, W]
         b, c, d, h, w = dense.shape

@@ -705,7 +705,14 @@ def spconv_downsample(
         packed_raw = PK.build_monotone_rule_strided(
             st, ob, ozc, oyc, oxc, out_valid, ks, s, p
         )
-        if os.environ.get("EFG_INV_IMPL", "derive") == "derive":
+        # default "merge": the hardware A/B (tools/bench_inverse.py,
+        # 2026-08-20, Waymo bs=4 stage0 shape) measured the scatter+cummax
+        # derivation at 75.0 ms vs 18.9 ms for the second merge-join — XLA
+        # row-scatters cost ~3.3 ms each at 320k rows and the derivation
+        # needs ~27 of them. Same verdict for the SubM transpose
+        # (EFG_SUBM_DERIVE: 59.3 vs 18.8 ms). Both stay env-gated records
+        # of a measured dead end, not defaults.
+        if os.environ.get("EFG_INV_IMPL", "merge") == "derive":
             # transpose the forward rulebook — no second merge-join kernel
             inv_raw, wmap = PK.derive_strided_inverse(
                 packed_raw, out_keys, st.capacity, ks, s, p

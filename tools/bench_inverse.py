@@ -67,13 +67,15 @@ def main():
     grid = tuple(int(round((PC[i + 3] - PC[i]) / VOX[i])) for i in range(3))
     sshape = (grid[2] + 1, grid[1], grid[0])
 
-    feats, coords, valid = jax.jit(
-        lambda p, m: dynamic_mean_vfe(p, m, pc_range=PC, voxel_size=VOX,
-                                      max_voxels=120000, num_input_features=5)
-    )(batch["points"], batch["points_mask"])
-    st = jax.jit(lambda f, c, v: S.from_batched_voxels(f, c, v, sshape))(
-        feats, coords, valid
-    )
+    # ONE jit for VFE + sparse-tensor build, exactly like the train step
+    # (separately-jitted fbv at this scale hit repeated TPU-worker crashes
+    # on the tunnel, 2026-08-20; the fused program is the proven-good path)
+    def _prep(p, m):
+        f, c, v = dynamic_mean_vfe(p, m, pc_range=PC, voxel_size=VOX,
+                                   max_voxels=120000, num_input_features=5)
+        return S.from_batched_voxels(f, c, v, sshape)
+
+    st = jax.jit(_prep)(batch["points"], batch["points_mask"])
     v_in = st.capacity
     print("valid rows:", int(st.valid.sum()), "/", v_in, flush=True)
 
