@@ -106,7 +106,11 @@ class SpMiddleResNetFHD(nn.Module):
 
     `grid_size` is the (nx, ny, nz) voxel grid; the sparse D dim is nz+1
     (reference adds [1, 0, 0] to the reversed shape). `stage_caps` are the
-    fixed voxel capacities after each of the 4 downsamples.
+    fixed PER-SAMPLE voxel capacities after each of the 4 downsamples
+    (multiplied by the batch size internally — the input `max_voxels` cap
+    is per-sample too, and the reference's spconv keeps every output site
+    regardless of batch). Before 2026-08-20 the caps were applied as
+    batch-TOTALS, silently truncating stage-1+ voxels for any batch > 1.
     """
 
     num_input_features: int = 5
@@ -144,20 +148,21 @@ class SpMiddleResNetFHD(nn.Module):
         st = SparseBasicBlock(16, name="res0a", dtype=act)(st, rb, train)
         st = SparseBasicBlock(16, name="res0b", dtype=act)(st, rb, train)
 
-        st = SparseConvDown(32, max_out=self.stage_caps[0], backend=backend, name="down1")(st)
+        bsz = st.batch_size
+        st = SparseConvDown(32, max_out=self.stage_caps[0] * bsz, backend=backend, name="down1")(st)
         st = _BNReLU(name="bn_down1", dtype=act)(st, train)
         rb = sp.build_rulebook(st, 3, backend)
         st = SparseBasicBlock(32, name="res1a", dtype=act)(st, rb, train)
         st = SparseBasicBlock(32, name="res1b", dtype=act)(st, rb, train)
 
-        st = SparseConvDown(64, max_out=self.stage_caps[1], backend=backend, name="down2")(st)
+        st = SparseConvDown(64, max_out=self.stage_caps[1] * bsz, backend=backend, name="down2")(st)
         st = _BNReLU(name="bn_down2", dtype=act)(st, train)
         rb = sp.build_rulebook(st, 3, backend)
         st = SparseBasicBlock(64, name="res2a", dtype=act)(st, rb, train)
         st = SparseBasicBlock(64, name="res2b", dtype=act)(st, rb, train)
 
         st = SparseConvDown(
-            128, padding=(0, 1, 1), max_out=self.stage_caps[2], backend=backend,
+            128, padding=(0, 1, 1), max_out=self.stage_caps[2] * bsz, backend=backend,
             name="down3",
         )(st)
         st = _BNReLU(name="bn_down3", dtype=act)(st, train)
@@ -170,7 +175,7 @@ class SpMiddleResNetFHD(nn.Module):
             kernel_size=(3, 1, 1),
             stride=(2, 1, 1),
             padding=(0, 0, 0),
-            max_out=self.stage_caps[3],
+            max_out=self.stage_caps[3] * bsz,
             backend=backend,
             name="extra_conv",
         )(st)

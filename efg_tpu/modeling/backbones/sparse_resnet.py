@@ -67,7 +67,9 @@ class SparseResNet(nn.Module):
     out_features: Sequence[str] = ("res2", "res3", "res4")
     grid_size: Tuple[int, int, int] = (1504, 1504, 40)
     stage_caps: Sequence[int] = (60000, 40000, 25000, 15000, 10000)
-    # caps: [after stem stride-2, after res2, res3, res4, res5]
+    # PER-SAMPLE caps: [after stem stride-2, after res2, res3, res4, res5];
+    # multiplied by the batch size internally (same semantics as
+    # SpMiddleResNetFHD.stage_caps)
     sparse_backend: str = "auto"  # auto | xla | pallas
 
     @nn.compact
@@ -81,8 +83,10 @@ class SparseResNet(nn.Module):
         )
 
         # stem: strided conv + 2 SubM convs (reference `SparseBasicStem`)
+        bsz = st.batch_size
         st = SparseConvDown(
-            stem_w, max_out=self.stage_caps[0], backend=backend, name="stem_down"
+            stem_w, max_out=self.stage_caps[0] * bsz, backend=backend,
+            name="stem_down",
         )(st)
         st = _BNReLU(name="stem_bn0")(st, train)
         rb = sp.build_rulebook(st, 3, backend)
@@ -99,7 +103,7 @@ class SparseResNet(nn.Module):
         out_channels = self.res1_out_channels
         for i, stage_idx in enumerate(range(2, max_stage + 1)):
             st = _ResStage(
-                out_channels, blocks[i], max_out=self.stage_caps[1 + i],
+                out_channels, blocks[i], max_out=self.stage_caps[1 + i] * bsz,
                 backend=backend, name=f"res{stage_idx}",
             )(st, train)
             if f"res{stage_idx}" in self.out_features:

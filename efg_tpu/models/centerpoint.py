@@ -55,6 +55,7 @@ class VoxelNet(nn.Module):
     common_heads: Any = (("reg", (2, 2)), ("height", (1, 2)), ("dim", (3, 2)), ("rot", (2, 2)))
     neck_cfg: Any = ()
     sparse_backend: str = "auto"
+    act_dtype: str = ""  # trunk activation-storage dtype ("bfloat16" = AMP-style)
 
     @nn.compact
     def __call__(self, points, points_mask, train: bool) -> List[Dict[str, jax.Array]]:
@@ -71,6 +72,7 @@ class VoxelNet(nn.Module):
             grid_size=grid,
             stage_caps=tuple(self.stage_caps),
             sparse_backend=self.sparse_backend,
+            act_dtype=self.act_dtype,
             name="backbone",
         )(feats, coords, valid, train)
         neck_kw = dict(self.neck_cfg)

@@ -25,6 +25,7 @@ def build_model(config):
         max_voxels=int(config.model.max_voxels),
         num_input_features=int(config.model.reader.num_input_features),
         stage_caps=tuple(config.model.stage_caps),
+        act_dtype=str(config.model.get("act_dtype", "")),
         tasks=tuple(cfg["tasks"]),
         common_heads=cfg["common_heads"],
         neck_cfg=tuple((k, tuple(v) if isinstance(v, list) else v) for k, v in config.model.neck.items()),
