@@ -444,14 +444,29 @@ def main():
         rec = _emit(fps, extras)
         _bank(rec)
 
-    # ConQueR secondary metric (BASELINE.json names it)
-    if not os.environ.get("BENCH_CHILD") and _remaining() > 300:
-        r = run_child("conquer", _remaining() - 60)
-        if "error" in r:
-            extras["conquer_error"] = r["error"]
+    # ConQueR secondary metric (BASELINE.json names it). If this leg can't
+    # run or fails, carry forward the last banked ConQueR measurement
+    # (marked stale) instead of dropping the field — a timeout here once
+    # erased a good number from the carry-forward record.
+    def carry_conquer():
+        if banked and "conquer_frames_per_sec_per_chip" in banked:
+            extras["conquer_frames_per_sec_per_chip"] = banked[
+                "conquer_frames_per_sec_per_chip"]
+            extras["conquer_sec_per_step_bs2"] = banked.get(
+                "conquer_sec_per_step_bs2")
+            extras["conquer_stale"] = True
+
+    if not os.environ.get("BENCH_CHILD"):
+        if _remaining() > 300:
+            r = run_child("conquer", _remaining() - 60)
+            if "error" in r:
+                extras["conquer_error"] = r["error"]
+                carry_conquer()
+            else:
+                extras["conquer_frames_per_sec_per_chip"] = r["fps"]
+                extras["conquer_sec_per_step_bs2"] = r["sec_per_step"]
         else:
-            extras["conquer_frames_per_sec_per_chip"] = r["fps"]
-            extras["conquer_sec_per_step_bs2"] = r["sec_per_step"]
+            carry_conquer()
         rec = _emit(fps, extras)
         _bank(rec)
 

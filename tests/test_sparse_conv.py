@@ -314,3 +314,54 @@ def test_large_grid_fallback_paths_match_dense_path(monkeypatch):
                                    np.asarray(out_search.features), rtol=1e-5, atol=1e-5)
     finally:
         SS.set_compute_dtype(jnp.bfloat16)
+
+
+def test_trunk_stage_caps_are_per_sample():
+    """SpMiddleResNetFHD stage caps are PER-SAMPLE (multiplied by batch
+    internally): a bs=2 forward must equal the two bs=1 forwards stacked.
+    Under the pre-2026-08-20 batch-TOTAL semantics this fails — with
+    stage-0 occupancy near the cap, half the batch's voxels were silently
+    truncated. Reference spconv keeps every output site regardless of
+    batch (`/root/reference/efg/modeling/backbones/sparse_net.py:473-545`)."""
+    from efg_tpu.modeling.backbones.sparse_net import SpMiddleResNetFHD
+    from efg_tpu.ops import sparse as SS
+
+    SS.set_compute_dtype(jnp.float32)
+    try:
+        rs = np.random.RandomState(7)
+        grid = (32, 32, 24)  # (nx, ny, nz) -> spatial (25, 32, 32); depth
+        # chain 25 -> 13 -> 7 -> 3 -> 1 survives the (3,1,1)/stride-2 extra_conv
+        d, h, w = 25, 32, 32
+        n, cap, c = 180, 256, 4
+        feats = np.zeros((2, cap, c), np.float32)
+        coords = np.zeros((2, cap, 3), np.int32)
+        valid = np.zeros((2, cap), bool)
+        for b in range(2):
+            lin = rs.choice(d * h * w, size=n, replace=False)
+            lin.sort()
+            coords[b, :n] = np.stack([lin // (h * w), (lin // w) % h, lin % w], -1)
+            feats[b, :n] = rs.randn(n, c).astype(np.float32)
+            valid[b, :n] = True
+
+        # caps sized so ONE sample fits but the old batch-total semantics
+        # would truncate a bs=2 batch at every stage
+        model = SpMiddleResNetFHD(
+            num_input_features=c, grid_size=grid,
+            stage_caps=(192, 192, 128, 128), sparse_backend="xla",
+        )
+        variables = model.init(
+            jax.random.key(0), jnp.asarray(feats[:1]), jnp.asarray(coords[:1]),
+            jnp.asarray(valid[:1]), False,
+        )
+
+        def fwd(f, cz, v):
+            return model.apply(variables, jnp.asarray(f), jnp.asarray(cz),
+                               jnp.asarray(v), False)
+
+        bev2 = np.asarray(fwd(feats, coords, valid))
+        bev0 = np.asarray(fwd(feats[:1], coords[:1], valid[:1]))
+        bev1 = np.asarray(fwd(feats[1:], coords[1:], valid[1:]))
+        np.testing.assert_allclose(bev2[0], bev0[0], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(bev2[1], bev1[0], rtol=1e-5, atol=1e-5)
+    finally:
+        SS.set_compute_dtype(jnp.bfloat16)
